@@ -1,0 +1,75 @@
+"""Process-zero logging with JSON stat lines.
+
+Capability parity with reference utils/logging.py:32-88: only the primary
+JAX process emits logs; meters emit machine-parsable JSON stat lines.
+"""
+
+from __future__ import annotations
+
+import atexit
+import json
+import logging
+import os
+import sys
+from typing import Any, Dict, Optional
+
+
+def is_primary() -> bool:
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
+_configured = False
+
+
+def setup_logging(output_dir: Optional[str] = None, name: str = "clip_fsar_tpu") -> logging.Logger:
+    global _configured
+    logger = logging.getLogger(name)
+    if _configured:
+        return logger
+    _configured = True
+    logger.setLevel(logging.INFO)
+    logger.propagate = False
+    fmt = logging.Formatter(
+        "[%(asctime)s][%(levelname)s] %(filename)s:%(lineno)d: %(message)s",
+        datefmt="%m/%d %H:%M:%S",
+    )
+    if is_primary():
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            fh = logging.FileHandler(os.path.join(output_dir, "stdout.log"))
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
+            atexit.register(fh.close)
+    else:
+        logger.addHandler(logging.NullHandler())
+    return logger
+
+
+def get_logger(name: str = "clip_fsar_tpu") -> logging.Logger:
+    setup_logging()
+    return logging.getLogger(name)
+
+
+def log_json_stats(stats: Dict[str, Any], logger: Optional[logging.Logger] = None) -> None:
+    """Emit one machine-parsable JSON line (reference logging.py:76-88)."""
+    logger = logger or get_logger()
+
+    def _clean(v: Any) -> Any:
+        if hasattr(v, "item"):
+            try:
+                return v.item()
+            except Exception:
+                return str(v)
+        if isinstance(v, float):
+            return round(v, 6)
+        return v
+
+    logger.info("json_stats: %s", json.dumps({k: _clean(v) for k, v in stats.items()}, sort_keys=True))
