@@ -1,0 +1,465 @@
+"""CLIP image/text towers in flax.linen, TPU-first.
+
+Capability parity with the vendored OpenAI CLIP in the reference
+(models/base/few_shot.py:430-886): VisionTransformer, ModifiedResNet with
+anti-aliased strides + AttentionPool2d, causal text Transformer with EOT
+pooling, QuickGELU, fp32-safe LayerNorm.
+
+TPU-first design choices (not a port):
+  * NHWC image layout (XLA-native conv layout on TPU);
+  * compute dtype is configurable (bfloat16 by default) with parameters
+    kept in float32; LayerNorm/BatchNorm/softmax always compute in fp32
+    (mirrors the reference's fp16-safe LayerNorm, few_shot.py:605-611);
+  * attention goes through one shared op (clip_fsar_tpu.ops.attention.mha)
+    with an optional Pallas fused kernel backend;
+  * optional jax.checkpoint (remat) per transformer block to trade FLOPs
+    for HBM when training with large episode batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import checkpoint as jax_checkpoint
+
+from clip_fsar_tpu.ops.attention import causal_mask, merge_heads, mha, split_heads
+
+
+# --------------------------------------------------------------------------
+# configs
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPArch:
+    """Architecture hyperparameters (reference build_model infers these from
+    state-dict shapes, few_shot.py:849-886; conversion does the same)."""
+
+    embed_dim: int
+    image_resolution: int
+    vision_layers: Union[int, Tuple[int, int, int, int]]  # int -> ViT, tuple -> ModifiedResNet
+    vision_width: int
+    vision_patch_size: Optional[int]
+    context_length: int = 77
+    vocab_size: int = 49408
+    transformer_width: int = 512
+    transformer_heads: int = 8
+    transformer_layers: int = 12
+    # None -> the OpenAI rule (width/64 for ViT, width*32/64 for ResNet)
+    vision_heads_override: Optional[int] = None
+
+    @property
+    def is_vit(self) -> bool:
+        return isinstance(self.vision_layers, int)
+
+    @property
+    def vision_heads(self) -> int:
+        if self.vision_heads_override is not None:
+            return self.vision_heads_override
+        return self.vision_width // 64 if self.is_vit else self.vision_width * 32 // 64
+
+    @property
+    def feature_dim(self) -> int:
+        """Output dim of the visual tower == CLIP joint-embedding dim."""
+        return self.embed_dim
+
+
+ARCHS = {
+    "RN50": CLIPArch(1024, 224, (3, 4, 6, 3), 64, None),
+    "RN101": CLIPArch(512, 224, (3, 4, 23, 3), 64, None),
+    "ViT-B/32": CLIPArch(512, 224, 12, 768, 32, transformer_width=512, transformer_heads=8),
+    "ViT-B/16": CLIPArch(512, 224, 12, 768, 16, transformer_width=512, transformer_heads=8),
+    "ViT-L/14": CLIPArch(768, 224, 24, 1024, 14, transformer_width=768, transformer_heads=12),
+    "ViT-L/14@336px": CLIPArch(768, 336, 24, 1024, 14, transformer_width=768, transformer_heads=12),
+    # tiny configs for tests / CI — not part of the reference zoo
+    "ViT-Tiny-Test": CLIPArch(
+        32, 64, 2, 64, 16, context_length=77, vocab_size=49408, transformer_width=64, transformer_heads=2,
+        transformer_layers=2, vision_heads_override=2,
+    ),
+    "RN-Tiny-Test": CLIPArch(
+        32, 64, (1, 1, 1, 1), 8, None, context_length=77, vocab_size=49408, transformer_width=64, transformer_heads=2, transformer_layers=2
+    ),
+}
+
+
+# --------------------------------------------------------------------------
+# building blocks
+# --------------------------------------------------------------------------
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm computed in fp32 regardless of activation dtype."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig = x.dtype
+        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32, param_dtype=jnp.float32)(x.astype(jnp.float32))
+        return y.astype(orig)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * nn.sigmoid(1.702 * x)
+
+
+class MultiheadAttention(nn.Module):
+    """q/k/v/out projections + shared attention core.
+
+    Converted from torch nn.MultiheadAttention by splitting in_proj into
+    q_proj/k_proj/v_proj.
+    """
+
+    dim: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "xla"
+
+    @nn.compact
+    def __call__(self, q, k=None, v=None, mask=None):
+        k = q if k is None else k
+        v = k if v is None else v
+        dense = lambda name: nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        qh = split_heads(dense("q_proj")(q), self.heads)
+        kh = split_heads(dense("k_proj")(k), self.heads)
+        vh = split_heads(dense("v_proj")(v), self.heads)
+        out = merge_heads(mha(qh, kh, vh, mask=mask, backend=self.attention_backend))
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="out_proj")(out)
+
+
+class ResidualAttentionBlock(nn.Module):
+    d_model: int
+    n_head: int
+    causal: bool = False
+    dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mask = causal_mask(x.shape[1]) if self.causal else None
+        y = LayerNorm(name="ln_1")(x)
+        x = x + MultiheadAttention(
+            self.d_model, self.n_head, dtype=self.dtype, attention_backend=self.attention_backend, name="attn"
+        )(y, mask=mask)
+        y = LayerNorm(name="ln_2")(x)
+        h = nn.Dense(self.d_model * 4, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_c_fc")(y)
+        h = quick_gelu(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_c_proj")(h)
+        return x + h
+
+
+class Transformer(nn.Module):
+    width: int
+    layers: int
+    heads: int
+    causal: bool = False
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+    attention_backend: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        block_cls = ResidualAttentionBlock
+        if self.remat:
+            block_cls = nn.remat(ResidualAttentionBlock, policy=jax_checkpoint.checkpoint_policies.nothing_saveable)
+        for i in range(self.layers):
+            x = block_cls(
+                self.width,
+                self.heads,
+                causal=self.causal,
+                dtype=self.dtype,
+                attention_backend=self.attention_backend,
+                name=f"resblocks_{i}",
+            )(x)
+        return x
+
+
+# --------------------------------------------------------------------------
+# vision towers
+# --------------------------------------------------------------------------
+
+
+class VisionTransformer(nn.Module):
+    """CLIP ViT (reference few_shot.py:654-688). Input NHWC."""
+
+    input_resolution: int
+    patch_size: int
+    width: int
+    layers: int
+    heads: int
+    output_dim: int
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+    attention_backend: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, return_tokens: bool = False):
+        p = self.patch_size
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            self.width, (p, p), strides=(p, p), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="conv1"
+        )(x)  # [B, g, g, width]
+        b = x.shape[0]
+        x = x.reshape(b, -1, self.width)  # [B, g*g, width]
+
+        cls = self.param("class_embedding", nn.initializers.normal(self.width**-0.5), (self.width,), jnp.float32)
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(self.width**-0.5),
+            ((self.input_resolution // p) ** 2 + 1, self.width),
+            jnp.float32,
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls.astype(self.dtype), (b, 1, self.width)), x], axis=1)
+        x = x + pos.astype(self.dtype)
+        x = LayerNorm(name="ln_pre")(x)
+        x = Transformer(
+            self.width,
+            self.layers,
+            self.heads,
+            dtype=self.dtype,
+            remat=self.remat,
+            attention_backend=self.attention_backend,
+            name="transformer",
+        )(x)
+        proj = self.param("proj", nn.initializers.normal(self.width**-0.5), (self.width, self.output_dim), jnp.float32)
+        if return_tokens:
+            tokens = LayerNorm(name="ln_post")(x) @ proj.astype(self.dtype)
+            return tokens[:, 0, :], tokens[:, 1:, :]
+        x = LayerNorm(name="ln_post")(x[:, 0, :])
+        return x @ proj.astype(self.dtype)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm in fp32 (activations cast in/out)."""
+
+    use_running_average: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig = x.dtype
+        y = nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return y.astype(orig)
+
+
+class Bottleneck(nn.Module):
+    """CLIP anti-aliased bottleneck (reference few_shot.py:182-228): all
+    convs stride 1; avgpool after conv2 when stride > 1; downsample path is
+    avgpool + 1x1 conv."""
+
+    inplanes: int
+    planes: int
+    stride: int = 1
+    train: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    EXPANSION = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        conv = lambda f, k, name: nn.Conv(
+            f, (k, k), padding=[(k // 2, k // 2)] * 2, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
+        bn = lambda name: BatchNorm(use_running_average=not self.train, name=name)
+
+        out = nn.relu(bn("bn1")(conv(self.planes, 1, "conv1")(x)))
+        out = nn.relu(bn("bn2")(conv(self.planes, 3, "conv2")(out)))
+        if self.stride > 1:
+            out = nn.avg_pool(out, (self.stride, self.stride), strides=(self.stride, self.stride))
+        out = bn("bn3")(conv(self.planes * self.EXPANSION, 1, "conv3")(out))
+
+        identity = x
+        if self.stride > 1 or self.inplanes != self.planes * self.EXPANSION:
+            if self.stride > 1:
+                identity = nn.avg_pool(identity, (self.stride, self.stride), strides=(self.stride, self.stride))
+            identity = conv(self.planes * self.EXPANSION, 1, "downsample_conv")(identity)
+            identity = bn("downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class AttentionPool2d(nn.Module):
+    """QKV attention pooling (reference few_shot.py:430-539, default
+    spatial=False path: the mean token attends over all positions)."""
+
+    spacial_dim: int
+    embed_dim: int
+    num_heads: int
+    output_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, return_tokens: bool = False):
+        b, h, w, c = x.shape
+        x = x.reshape(b, h * w, c)
+        x = jnp.concatenate([x.mean(axis=1, keepdims=True), x], axis=1)  # [B, HW+1, C]
+        pos = self.param(
+            "positional_embedding", nn.initializers.normal(c**-0.5), (self.spacial_dim**2 + 1, self.embed_dim), jnp.float32
+        )
+        x = x + pos.astype(x.dtype)
+
+        out_dim = self.output_dim or self.embed_dim
+        dense = lambda f, name: nn.Dense(f, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        q = dense(self.embed_dim, "q_proj")(x[:, :1])
+        k = dense(self.embed_dim, "k_proj")(x)
+        v = dense(self.embed_dim, "v_proj")(x)
+        att = mha(split_heads(q, self.num_heads), split_heads(k, self.num_heads), split_heads(v, self.num_heads))
+        pooled = dense(out_dim, "c_proj")(merge_heads(att))[:, 0]
+        if return_tokens:
+            tokens = dense(out_dim, "c_proj_tokens")(v[:, 1:])  # spatial="v2" variant
+            return pooled, tokens
+        return pooled
+
+
+class ModifiedResNet(nn.Module):
+    """CLIP ResNet (reference few_shot.py:542-602): 3-conv stem with
+    avgpool, anti-aliased bottleneck stages, attention pooling."""
+
+    layers: Tuple[int, int, int, int]
+    output_dim: int
+    heads: int
+    input_resolution: int = 224
+    width: int = 64
+    train: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, return_tokens: bool = False):
+        x = x.astype(self.dtype)
+        conv = lambda f, s, name: nn.Conv(
+            f, (3, 3), strides=(s, s), padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
+        bn = lambda name: BatchNorm(use_running_average=not self.train, name=name)
+        x = nn.relu(bn("bn1")(conv(self.width // 2, 2, "conv1")(x)))
+        x = nn.relu(bn("bn2")(conv(self.width // 2, 1, "conv2")(x)))
+        x = nn.relu(bn("bn3")(conv(self.width, 1, "conv3")(x)))
+        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+        inplanes = self.width
+        for stage, (blocks, planes, stride) in enumerate(
+            zip(self.layers, (self.width, self.width * 2, self.width * 4, self.width * 8), (1, 2, 2, 2)), start=1
+        ):
+            for i in range(blocks):
+                x = Bottleneck(
+                    inplanes,
+                    planes,
+                    stride=stride if i == 0 else 1,
+                    train=self.train,
+                    dtype=self.dtype,
+                    name=f"layer{stage}_{i}",
+                )(x)
+                inplanes = planes * Bottleneck.EXPANSION
+
+        return AttentionPool2d(
+            self.input_resolution // 32, self.width * 32, self.heads, self.output_dim, dtype=self.dtype, name="attnpool"
+        )(x, return_tokens=return_tokens)
+
+
+# --------------------------------------------------------------------------
+# text tower & full CLIP
+# --------------------------------------------------------------------------
+
+
+class TextTransformer(nn.Module):
+    """Causal text encoder with EOT-token pooling (few_shot.py:793-806)."""
+
+    arch: CLIPArch
+    dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "xla"
+
+    @nn.compact
+    def __call__(self, text: jnp.ndarray) -> jnp.ndarray:
+        a = self.arch
+        x = nn.Embed(a.vocab_size, a.transformer_width, dtype=self.dtype, param_dtype=jnp.float32, name="token_embedding")(text)
+        pos = self.param(
+            "positional_embedding", nn.initializers.normal(0.01), (a.context_length, a.transformer_width), jnp.float32
+        )
+        x = x + pos.astype(x.dtype)
+        x = Transformer(
+            a.transformer_width,
+            a.transformer_layers,
+            a.transformer_heads,
+            causal=True,
+            dtype=self.dtype,
+            attention_backend=self.attention_backend,
+            name="transformer",
+        )(x)
+        x = LayerNorm(name="ln_final")(x)
+        proj = self.param(
+            "text_projection", nn.initializers.normal(a.transformer_width**-0.5), (a.transformer_width, a.embed_dim), jnp.float32
+        )
+        eot = jnp.argmax(text, axis=-1)  # EOT has the largest token id in each row
+        pooled = x[jnp.arange(x.shape[0]), eot]
+        return pooled @ proj.astype(x.dtype)
+
+
+class CLIP(nn.Module):
+    """Joint image/text model.  ``method``-dispatch via flax apply:
+
+      variables = clip.init(rng, images, text)
+      img = clip.apply(variables, images, method=CLIP.encode_image)
+      txt = clip.apply(variables, text, method=CLIP.encode_text)
+    """
+
+    arch: CLIPArch
+    dtype: jnp.dtype = jnp.float32
+    train_backbone: bool = False  # BatchNorm mode for ModifiedResNet
+    remat: bool = False
+    attention_backend: str = "xla"
+
+    def setup(self):
+        a = self.arch
+        if a.is_vit:
+            self.visual = VisionTransformer(
+                input_resolution=a.image_resolution,
+                patch_size=a.vision_patch_size,
+                width=a.vision_width,
+                layers=a.vision_layers,
+                heads=a.vision_heads,
+                output_dim=a.embed_dim,
+                dtype=self.dtype,
+                remat=self.remat,
+                attention_backend=self.attention_backend,
+            )
+        else:
+            self.visual = ModifiedResNet(
+                layers=a.vision_layers,
+                output_dim=a.embed_dim,
+                heads=a.vision_heads,
+                input_resolution=a.image_resolution,
+                width=a.vision_width,
+                train=self.train_backbone,
+                dtype=self.dtype,
+            )
+        self.text = TextTransformer(a, dtype=self.dtype, attention_backend=self.attention_backend)
+        self.logit_scale = self.param("logit_scale", nn.initializers.constant(jnp.log(1 / 0.07)), (), jnp.float32)
+
+    def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
+        """images: [B, H, W, 3] normalized; returns [B, embed_dim]."""
+        return self.visual(images)
+
+    def encode_text(self, text: jnp.ndarray) -> jnp.ndarray:
+        """text: [B, context_length] int tokens; returns [B, embed_dim]."""
+        return self.text(text)
+
+    def __call__(self, images: jnp.ndarray, text: jnp.ndarray):
+        img = self.encode_image(images)
+        txt = self.encode_text(text)
+        img = img / jnp.linalg.norm(img.astype(jnp.float32), axis=-1, keepdims=True).astype(img.dtype)
+        txt = txt / jnp.linalg.norm(txt.astype(jnp.float32), axis=-1, keepdims=True).astype(txt.dtype)
+        scale = jnp.exp(self.logit_scale).astype(img.dtype)
+        logits_per_image = scale * img @ txt.T
+        return logits_per_image, logits_per_image.T
+
+
+def build_clip(name: str, dtype=jnp.float32, **kwargs) -> CLIP:
+    if name not in ARCHS:
+        raise KeyError(f"Unknown CLIP arch {name!r}. Known: {sorted(ARCHS)}")
+    return CLIP(arch=ARCHS[name], dtype=dtype, **kwargs)

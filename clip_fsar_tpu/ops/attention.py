@@ -1,0 +1,66 @@
+"""Multi-head attention core shared by every tower in the framework.
+
+One entry point, ``mha``, operating on head-split tensors.  The default
+path is pure XLA (einsum + softmax — XLA fuses this well on TPU for the
+short sequences CLIP uses: 50-257 tokens).  ``backend="pallas"`` selects
+the fused-attention Pallas kernel in ``clip_fsar_tpu.ops.flash_attention``
+for long-sequence / large-batch regimes.
+
+Replaces: torch.nn.MultiheadAttention / F.multi_head_attention_forward
+usage in the reference (models/base/few_shot.py:623-640, 469-539).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from jax import nn as jnn
+
+
+def mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    backend: str = "xla",
+) -> jnp.ndarray:
+    """Scaled dot-product attention over head-split tensors.
+
+    q: [B, H, Nq, Dh], k/v: [B, H, Nk, Dh]; mask: additive, broadcastable
+    to [B, H, Nq, Nk] (use -inf for disallowed).  Returns [B, H, Nq, Dh].
+    Softmax is computed in float32 regardless of input dtype (parity with
+    the reference's fp32 torch softmax under autocast-off).
+    """
+    if backend == "pallas":
+        from clip_fsar_tpu.ops.flash_attention import flash_mha
+
+        return flash_mha(q, k, v, mask=mask)
+
+    dtype = q.dtype
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits.astype(jnp.float32) * scale
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    probs = jnn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype), v, preferred_element_type=jnp.float32)
+    return out.astype(dtype)
+
+
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """[B, N, D] -> [B, H, N, D/H]"""
+    b, n, d = x.shape
+    return x.reshape(b, n, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, N, Dh] -> [B, N, H*Dh]"""
+    b, h, n, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
+
+
+def causal_mask(n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Additive causal mask [n, n]: 0 on/below diagonal, -inf above
+    (reference CLIP.build_attention_mask, few_shot.py:778-784)."""
+    return jnp.triu(jnp.full((n, n), -jnp.inf, dtype=dtype), k=1)

@@ -11,6 +11,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    # fp32 parity tests need true-fp32 matmuls/convs (XLA CPU otherwise
+    # lowers them to reduced-precision oneDNN paths).
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+
 @pytest.fixture(scope="session")
 def rng():
     import jax
