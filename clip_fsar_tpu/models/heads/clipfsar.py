@@ -1,0 +1,202 @@
+"""CLIP-FSAR head: CLIP visual features + text-prototype modulation + OTAM.
+
+Behavioral parity with the reference ``CNN_OTAM_CLIPFSAR``
+(models/base/few_shot.py:2691-2993), redesigned for XLA:
+
+  * pure function of (params, episode, text banks) — the text features are
+    precomputed constants (the reference computes them once at __init__
+    under no_grad, few_shot.py:2714-2728), carried as inputs, not params;
+  * class prototypes via static one-hot segment means (labels are always
+    0..WAY-1) instead of torch.unique + index_select — identical result,
+    no dynamic shapes;
+  * OTAM unrolled at trace time (clip_fsar_tpu.ops.otam);
+  * episodes batch: vmap this module over a leading [E] axis and the CLIP
+    tower sees E*(S+Q)*T frames per step — the MXU-utilization lever the
+    per-GPU-single-episode reference lacks.
+
+Eval-mode variants (all reference-gated by hasattr on cfg.TRAIN):
+  plain OTAM, ``EVAL_TEXT`` (zero-shot text matching), ``COMBINE``
+  (text^a * visual_softmax^(1-a) fusion), ``MERGE_BEFORE`` (class-mean
+  before modulation; the published 5-shot test protocol).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from clip_fsar_tpu.data.types import Episode
+from clip_fsar_tpu.models.clip.model import CLIPArch, ModifiedResNet, VisionTransformer
+from clip_fsar_tpu.models.heads.common import TransformerV1, class_mean, cos_sim
+from clip_fsar_tpu.ops.otam import otam_distance
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPFSARConfig:
+    """Static head hyperparameters extracted from the YAML config."""
+
+    way: int = 5
+    num_frames: int = 8
+    transformer_depth: int = 1
+    use_classification: bool = True
+    merge_before: bool = False
+    combine: bool = False
+    eval_text: bool = False
+    single_direct: bool = False
+    text_coff: Optional[float] = None  # None -> 0.9 (reference default)
+
+    @classmethod
+    def from_cfg(cls, cfg) -> "CLIPFSARConfig":
+        t = cfg.TRAIN
+        depth = t.get("TRANSFORMER_DEPTH", None)
+        return cls(
+            way=int(t.WAY),
+            num_frames=int(cfg.DATA.NUM_INPUT_FRAMES),
+            transformer_depth=int(depth) if depth else 1,
+            use_classification=bool(t.get("USE_CLASSIFICATION", False)),
+            merge_before=bool(t.get("MERGE_BEFORE", False)),
+            combine=bool(t.get("COMBINE", False)),
+            eval_text=bool(t.get("EVAL_TEXT", False)),
+            single_direct=bool(t.get("SINGLE_DIRECT", False)),
+            text_coff=t.get("TEXT_COFF", None) or None,
+        )
+
+
+class CLIPFSARHead(nn.Module):
+    arch: CLIPArch
+    head_cfg: CLIPFSARConfig
+    dtype: jnp.dtype = jnp.float32
+    train_backbone_bn: bool = False  # BatchNorm batch-stats mode (RN towers)
+    remat: bool = False
+    attention_backend: str = "xla"
+
+    def setup(self):
+        a = self.arch
+        if a.is_vit:
+            self.backbone = VisionTransformer(
+                input_resolution=a.image_resolution,
+                patch_size=a.vision_patch_size,
+                width=a.vision_width,
+                layers=a.vision_layers,
+                heads=a.vision_heads,
+                output_dim=a.embed_dim,
+                dtype=self.dtype,
+                remat=self.remat,
+                attention_backend=self.attention_backend,
+            )
+        else:
+            self.backbone = ModifiedResNet(
+                layers=a.vision_layers,
+                output_dim=a.embed_dim,
+                heads=a.vision_heads,
+                input_resolution=a.image_resolution,
+                width=a.vision_width,
+                train=self.train_backbone_bn,
+                dtype=self.dtype,
+            )
+        mid = a.embed_dim  # 1024 for RN50, 512 for ViT-B/16 (few_shot.py:2699-2713)
+        self.context2 = TransformerV1(
+            dim=mid,
+            heads=8,
+            dim_head_k=mid // 8,
+            dropout_atte=0.2,
+            depth=self.head_cfg.transformer_depth,
+            dtype=self.dtype,
+        )
+        self.scale = self.param("scale", nn.initializers.ones, (1,), jnp.float32)
+
+    def encode_frames(self, images: jnp.ndarray) -> jnp.ndarray:
+        """[N, T, H, W, 3] -> [N, T, D] through the CLIP visual tower."""
+        n, t = images.shape[:2]
+        flat = images.reshape((n * t,) + images.shape[2:])
+        feats = self.backbone(flat)
+        return feats.reshape(n, t, -1)
+
+    def __call__(
+        self,
+        episode: Episode,
+        text_train: jnp.ndarray,
+        text_test: Optional[jnp.ndarray] = None,
+        train: bool = True,
+    ) -> Dict[str, Any]:
+        """Returns {"logits": [Q, WAY], "class_logits": [S+Q, C_train] | None}."""
+        hc = self.head_cfg
+        way, t = hc.way, hc.num_frames
+        if episode.support_images.shape[0] % way:
+            raise ValueError(
+                f"episode has {episode.support_images.shape[0]} support clips, "
+                f"not divisible by WAY={way} — episode/head config mismatch"
+            )
+        if episode.support_images.shape[1] != t:
+            raise ValueError(
+                f"episode has {episode.support_images.shape[1]} frames, head expects NUM_INPUT_FRAMES={t}"
+            )
+        deterministic = not train
+        text_eval = text_test if text_test is not None else text_train
+
+        # --- CLIP visual features (support and target separately: parity
+        # with reference get_feats, incl. BN batch statistics) ---
+        support_features = self.encode_frames(episode.support_images).astype(jnp.float32)
+        target_features = self.encode_frames(episode.target_images).astype(jnp.float32)
+        scale = self.scale.astype(jnp.float32)
+
+        if not train and hc.eval_text:
+            # zero-shot: mean target feature vs class-mean support text
+            text_feats = text_eval[episode.real_support_labels]
+            text_feats = class_mean(text_feats, episode.support_labels, way)
+            image_features = target_features.mean(axis=1)
+            image_features = image_features / jnp.linalg.norm(image_features, axis=1, keepdims=True)
+            text_feats = text_feats / jnp.linalg.norm(text_feats, axis=1, keepdims=True)
+            logits_per_image = nn.softmax(scale * image_features @ text_feats.T, axis=1)
+            return {"logits": logits_per_image, "class_logits": None}
+
+        # --- video-text classification logits (cls loss; few_shot.py:2782-2787;
+        # computed unconditionally in eval, gated by USE_CLASSIFICATION in train) ---
+        class_logits = None
+        if (train and hc.use_classification) or not train:
+            all_feats = jnp.concatenate([support_features, target_features], axis=0).mean(axis=1)
+            class_logits = cos_sim(all_feats, text_train) * scale
+
+        # --- prototype modulation (few_shot.py:2791-2811) ---
+        bank = text_train if train else text_eval
+        context_support = bank[episode.real_support_labels][:, None, :].astype(jnp.float32)
+
+        target_features = self.context2(target_features, target_features, target_features, deterministic=deterministic)
+
+        support_labels = episode.support_labels
+        support_feats = support_features
+        if hc.merge_before:
+            support_feats = class_mean(support_feats, support_labels, way)
+            context_support = class_mean(context_support, support_labels, way)
+        merged = jnp.concatenate([support_feats, context_support], axis=1)
+        support_feats = self.context2(merged, merged, merged, deterministic=deterministic)[:, :t, :]
+        if not hc.merge_before:
+            support_feats = class_mean(support_feats, support_labels, way)
+        # prototypes are now ordered by class id 0..WAY-1 (torch.unique order)
+
+        # --- OTAM frame-alignment distance (few_shot.py:2813-2832) ---
+        q = target_features.reshape(-1, target_features.shape[-1])  # [Q*T, D]
+        s = support_feats.reshape(-1, support_feats.shape[-1])  # [WAY*T, D]
+        frame_dists = 1.0 - cos_sim(q, s)  # [Q*T, WAY*T]
+        nq = target_features.shape[0]
+        dists = frame_dists.reshape(nq, t, way, t).transpose(0, 2, 1, 3)  # [Q, WAY, Tq, Ts]
+        cum_dists = otam_distance(dists, single_direction=hc.single_direct)
+
+        if not train and hc.combine:
+            # text-visual fusion (few_shot.py:2924-2928); "8" is the
+            # reference's hardcoded constant, not NUM_INPUT_FRAMES
+            text_feats = text_eval[episode.real_support_labels]
+            text_feats = class_mean(text_feats, episode.support_labels, way)
+            image_features = target_features.mean(axis=1)
+            image_features = image_features / jnp.linalg.norm(image_features, axis=1, keepdims=True)
+            text_feats = text_feats / jnp.linalg.norm(text_feats, axis=1, keepdims=True)
+            logits_per_image = nn.softmax(scale * image_features @ text_feats.T, axis=1)
+            soft_visual = nn.softmax((8.0 - cum_dists) / 8.0, axis=1)
+            a = hc.text_coff if hc.text_coff is not None else 0.9
+            fused = jnp.power(logits_per_image, a) * jnp.power(soft_visual, 1.0 - a)
+            return {"logits": fused, "class_logits": None}
+
+        return {"logits": -cum_dists, "class_logits": class_logits}

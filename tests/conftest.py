@@ -3,10 +3,18 @@ multi-chip sharding paths are exercised without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the image pre-sets JAX_PLATFORMS=axon (one real TPU via a
+# tunnel) and a sitecustomize imports jax at interpreter startup, so the
+# env var alone is read too early to override here — use jax.config too.
+# Tests must run on the virtual 8-device CPU mesh regardless.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
@@ -14,8 +22,6 @@ import pytest  # noqa: E402
 def pytest_configure(config):
     # fp32 parity tests need true-fp32 matmuls/convs (XLA CPU otherwise
     # lowers them to reduced-precision oneDNN paths).
-    import jax
-
     jax.config.update("jax_default_matmul_precision", "highest")
 
 
