@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Benchmark: episodic training throughput of the flagship CLIP-FSAR model.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Protocol: 5-way 1-shot 5-query episodes, 8 frames @ 224x224 (the published
+eval protocol, BASELINE.md), CLIP ViT-B/16 tower, full train step
+(forward+backward+adam) on synthetic device-resident episodes — measuring
+the compute path, not the host pipeline (bench the loader separately with
+--loader).
+
+vs_baseline: the reference repo publishes no throughput (BASELINE.md);
+the divisor is ASSUMED_BASELINE_EPS_PER_SEC — an estimate of the PyTorch
+reference on one A100 (one episode per step, per-frame unbatched CLIP
+forward + python OTAM loop).  Replace with a measured number when one
+exists.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+ASSUMED_BASELINE_EPS_PER_SEC = 2.0  # estimated A100 reference throughput
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true", help="tiny model on CPU (smoke)")
+    p.add_argument("--eval", action="store_true", help="benchmark the eval step instead of train")
+    p.add_argument("--episodes", type=int, default=0, help="episodes per step (0 = auto)")
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--backbone", default="ViT-B/16")
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--res", type=int, default=224)
+    p.add_argument("--remat", action="store_true")
+    args = p.parse_args()
+
+    if args.quick:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+        args.backbone, args.res, args.frames = "ViT-Tiny-Test", 64, 4
+        args.steps = min(args.steps, 3)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _cfg, _dummy_episode
+    from clip_fsar_tpu.models.builder import build_few_shot_model
+    from clip_fsar_tpu.parallel.mesh import build_mesh, replicate, shard_batch
+    from clip_fsar_tpu.train.loop import build_state
+    from clip_fsar_tpu.train.optimizer import build_optimizer
+    from clip_fsar_tpu.train.step import make_eval_step, make_train_step
+
+    ways, shot, qpc = 5, 1, 5
+    n_dev = len(jax.devices())
+    episodes = args.episodes or n_dev
+    episodes = max(episodes // n_dev, 1) * n_dev
+
+    cfg = _cfg(args.backbone, args.frames, args.res, episodes, ways=ways, shot=shot, qpc=qpc)
+    if args.remat:
+        cfg.TPU.REMAT = True
+    mesh = build_mesh(cfg)
+
+    model = build_few_shot_model(cfg, jax.random.PRNGKey(0))
+    tx = build_optimizer(cfg, model.variables["params"])
+    state = replicate(build_state(cfg, model, tx), mesh)
+
+    rng = np.random.RandomState(0)
+    eps = [_dummy_episode(rng, ways, shot, qpc, args.frames, args.res) for _ in range(episodes)]
+    batch = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *[jax.device_get(e) for e in eps])
+    # uint8 on host -> device, like the real pipeline
+    batch = batch.replace(
+        support_images=(batch.support_images * 255).astype(np.uint8),
+        target_images=(batch.target_images * 255).astype(np.uint8),
+    )
+    batch = shard_batch(batch, mesh)
+
+    frames_per_episode = (ways * shot + ways * qpc) * args.frames
+
+    if args.eval:
+        step_fn = jax.jit(make_eval_step(model.head, cfg, model.text_train, model.text_test))
+        variables = replicate(model.variables, mesh)
+
+        def run_once():
+            out = step_fn(variables, batch)
+            jax.block_until_ready(out["top1_correct"])
+    else:
+        train_step = jax.jit(make_train_step(model.head, tx, cfg, model.text_train, model.text_test))
+        rng_key = jax.random.PRNGKey(0)
+        lr = jnp.float32(1e-5)
+        state_box = [state]
+
+        def run_once():
+            new_state, metrics = train_step(state_box[0], batch, lr, rng_key)
+            jax.block_until_ready(new_state.params["scale"])
+            state_box[0] = new_state
+
+    # warmup (compile)
+    for _ in range(2):
+        run_once()
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        run_once()
+    dt = time.perf_counter() - t0
+
+    eps_per_sec = episodes * args.steps / dt
+    eps_per_sec_per_chip = eps_per_sec / n_dev
+    frames_per_sec = eps_per_sec * frames_per_episode
+
+    mode = "eval" if args.eval else "train"
+    metric = f"clipfsar_{args.backbone.replace('/', '')}_{mode}_episodes_per_sec_per_chip"
+    result = {
+        "metric": metric,
+        "value": round(eps_per_sec_per_chip, 4),
+        "unit": "episodes/s/chip",
+        "vs_baseline": round(eps_per_sec_per_chip / ASSUMED_BASELINE_EPS_PER_SEC, 4),
+        "detail": {
+            "episodes_per_step": episodes,
+            "devices": n_dev,
+            "steps": args.steps,
+            "frames_per_sec": round(frames_per_sec, 1),
+            "frames_per_episode": frames_per_episode,
+            "backbone": args.backbone,
+            "baseline_note": f"assumed A100 reference {ASSUMED_BASELINE_EPS_PER_SEC} eps/s (no published number)",
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

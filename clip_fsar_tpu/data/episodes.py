@@ -1,0 +1,173 @@
+"""Episodic sampler + prefetching loader (host-side data service).
+
+The reference assembles one episode per DataLoader worker __getitem__
+(datasets/base/ssv2_few_shot.py:202-285): sample WAY classes, SHOT+QUERY
+clips per class, decode, transform, shuffle support and query sets.  Here
+the same protocol runs in a thread pool that keeps a queue of *batched*
+episodes ([E, ...] numpy, uint8 frames) ready for jax.device_put — E
+episodes per step is the MXU-utilization lever (SURVEY.md §7.3).
+
+Error policy mirrors the reference: decode failures retry with a
+re-sampled clip (ssv2_few_shot.py:222-265); after ``retries`` the episode
+is rebuilt from scratch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from clip_fsar_tpu.data.splits import FewShotSplit
+from clip_fsar_tpu.data.transforms import test_transform, train_transform
+from clip_fsar_tpu.data.types import Episode
+from clip_fsar_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+class EpisodeSampler:
+    """Samples N-way K-shot episodes from a split."""
+
+    def __init__(self, cfg, split: FewShotSplit, decoder, mode: str = "train", seed: int = 0, path_map=None):
+        self.cfg = cfg
+        self.split = split
+        self.decoder = decoder
+        self.mode = mode
+        self.rng = np.random.default_rng(seed)
+        self.path_map = path_map or (lambda p: p)
+
+        t = cfg.TRAIN
+        self.way = int(t.WAY)
+        if mode == "train":
+            self.shot = int(t.SHOT)
+            self.queries = int(t.QUERY_PER_CLASS)
+        else:
+            self.shot = int(t.get("SHOT_TEST", t.SHOT))
+            self.queries = int(t.get("QUERY_PER_CLASS_TEST", 1))
+            way_test = t.get("WAY_TEST", None)
+            if way_test:
+                self.way = int(way_test)
+        self.num_frames = int(cfg.DATA.NUM_INPUT_FRAMES)
+        self.classes = np.asarray(split.unique_classes())
+
+    # -- clip loading -------------------------------------------------------
+    def _load_clip(self, class_id: int, idx: int) -> np.ndarray:
+        """Decode + frame-sample + spatial transform one clip -> uint8
+        [T, crop, crop, 3]."""
+        from clip_fsar_tpu.data.sampling import sample_indices_for_cfg
+
+        path, _ = self.split.get(class_id, idx)
+        path = self.path_map(path)
+        length = self.decoder.length(path)
+        fps = self.decoder.fps(path) if hasattr(self.decoder, "fps") else float(self.cfg.DATA.get("FPS", 30))
+        indices = sample_indices_for_cfg(self.cfg, self.mode, length, fps, self.rng)
+        frames = self.decoder.read(path, indices)
+        if self.mode == "train":
+            return train_transform(frames, self.cfg, self.rng)
+        return test_transform(frames, self.cfg)
+
+    def sample_episode(self) -> Episode:
+        retries = 5
+        for attempt in range(retries):
+            try:
+                return self._sample_episode_once()
+            except Exception:
+                if attempt == retries - 1:
+                    raise
+                logger.warning("episode assembly failed (attempt %d), resampling", attempt + 1, exc_info=True)
+
+    def _sample_episode_once(self) -> Episode:
+        rng = self.rng
+        batch_classes = rng.choice(self.classes, size=self.way, replace=False)
+
+        sup_imgs, sup_lab, sup_real = [], [], []
+        tgt_imgs, tgt_lab, tgt_real = [], [], []
+        for local_label, class_id in enumerate(batch_classes):
+            class_id = int(class_id)
+            n_total = self.split.num_videos_for_class(class_id)
+            need = self.shot + self.queries
+            if n_total >= need:
+                idxs = rng.choice(n_total, size=need, replace=False)
+            else:  # tiny classes: sample with replacement rather than fail
+                idxs = rng.choice(n_total, size=need, replace=True)
+            for j, idx in enumerate(idxs):
+                clip = self._load_clip(class_id, int(idx))
+                if j < self.shot:
+                    sup_imgs.append(clip)
+                    sup_lab.append(local_label)
+                    sup_real.append(class_id)
+                else:
+                    tgt_imgs.append(clip)
+                    tgt_lab.append(local_label)
+                    tgt_real.append(class_id)
+
+        perm_s = rng.permutation(len(sup_imgs))
+        perm_t = rng.permutation(len(tgt_imgs))
+        return Episode(
+            support_images=np.stack(sup_imgs)[perm_s],
+            support_labels=np.asarray(sup_lab, np.int32)[perm_s],
+            real_support_labels=np.asarray(sup_real, np.int32)[perm_s],
+            target_images=np.stack(tgt_imgs)[perm_t],
+            target_labels=np.asarray(tgt_lab, np.int32)[perm_t],
+            real_target_labels=np.asarray(tgt_real, np.int32)[perm_t],
+            batch_class_list=np.asarray(batch_classes, np.int32),
+        )
+
+
+def stack_episodes(episodes) -> Episode:
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *episodes)
+
+
+class EpisodeLoader:
+    """Background-threaded episode producer yielding [E, ...] batches.
+
+    Replaces torch DataLoader workers (datasets/base/builder.py:84-93):
+    threads suffice because decode releases the GIL in cv2/PIL and the
+    synthetic path is numpy-bound.
+    """
+
+    def __init__(self, sampler_factory, episodes_per_step: int, num_workers: int = 4, prefetch: int = 2, num_steps: Optional[int] = None):
+        self.episodes_per_step = episodes_per_step
+        self.num_steps = num_steps
+        self._queue: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
+        self._stop = threading.Event()
+        self._samplers = [sampler_factory(i) for i in range(max(num_workers, 1))]
+        self._threads = []
+        self._produced = 0
+        self._lock = threading.Lock()
+        for s in self._samplers:
+            th = threading.Thread(target=self._worker, args=(s,), daemon=True)
+            th.start()
+            self._threads.append(th)
+
+    def _worker(self, sampler: EpisodeSampler) -> None:
+        while not self._stop.is_set():
+            batch = stack_episodes([sampler.sample_episode() for _ in range(self.episodes_per_step)])
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(batch, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self) -> Iterator[Episode]:
+        n = 0
+        while self.num_steps is None or n < self.num_steps:
+            yield self._queue.get()
+            n += 1
+
+    def close(self) -> None:
+        self._stop.set()
+        for th in self._threads:
+            th.join(timeout=2.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

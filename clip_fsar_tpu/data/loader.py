@@ -1,0 +1,36 @@
+"""Loader builder: config -> episodic (or classification) data service.
+
+Capability of reference datasets/base/builder.py:47-94, redesigned: no
+torch DataLoader — a thread-pooled EpisodeLoader emits [E, ...] uint8
+numpy batches ready for jax.device_put with a data-axis sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from clip_fsar_tpu.data.episodes import EpisodeLoader
+from clip_fsar_tpu.utils.registry import DATASET_REGISTRY
+
+# side-effect: register the dataset classes
+from clip_fsar_tpu.data import datasets as _datasets  # noqa: F401
+
+
+def build_few_shot_loader(cfg, split: str, num_steps: Optional[int] = None, episodes_per_step: Optional[int] = None) -> EpisodeLoader:
+    name = cfg.TRAIN.DATASET if split == "train" else cfg.TEST.get("DATASET", cfg.TRAIN.DATASET)
+    dataset = DATASET_REGISTRY.get(name)(cfg, split)
+    if episodes_per_step is None:
+        episodes_per_step = int(cfg.TPU.get("EPISODES_PER_STEP", 1)) if split == "train" else 1
+    return EpisodeLoader(
+        dataset.make_sampler,
+        episodes_per_step=episodes_per_step,
+        num_workers=int(cfg.DATA_LOADER.get("NUM_WORKERS", 4)),
+        prefetch=int(cfg.DATA_LOADER.get("PREFETCH", 2)),
+        num_steps=num_steps,
+    )
+
+
+def build_loader(cfg, split: str, **kwargs):
+    if cfg.get("TASK_TYPE", "classification") == "few_shot_action":
+        return build_few_shot_loader(cfg, split, **kwargs)
+    raise NotImplementedError(f"loader for TASK_TYPE={cfg.get('TASK_TYPE')!r} lands with the classification task")

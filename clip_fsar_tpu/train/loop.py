@@ -1,0 +1,187 @@
+"""Few-shot train/test loops (capability of runs/train_net_few_shot.py +
+runs/test_net_few_shot.py, TPU-native).
+
+Iteration accounting: the reference counts per-GPU iterations of one
+episode each (NUM_TRAIN_TASKS of them, with BATCH_SIZE==NUM_GPUS episodes
+in flight per iteration and BATCH_SIZE_PER_TASK accumulation).  Here one
+jitted step consumes TPU.EPISODES_PER_STEP episodes; configs generated
+from the reference set EPISODES_PER_STEP == BATCH_SIZE, so step s
+corresponds 1:1 to reference iteration s: the LR schedule, VAL_FRE_ITER
+and NUM_TRAIN_TASKS transfer unchanged.
+"""
+
+from __future__ import annotations
+
+import collections
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_fsar_tpu.data.loader import build_few_shot_loader
+from clip_fsar_tpu.models.builder import build_few_shot_model
+from clip_fsar_tpu.parallel.mesh import build_mesh, check_batch_divisible, replicate, shard_batch
+from clip_fsar_tpu.train.checkpoint import Checkpointer, auto_resume
+from clip_fsar_tpu.train.optimizer import build_optimizer, epoch_for_iter, get_lr_at_epoch
+from clip_fsar_tpu.train.state import TrainState
+from clip_fsar_tpu.train.step import make_eval_step, make_train_step
+from clip_fsar_tpu.utils.logging import get_logger, log_json_stats, setup_logging
+from clip_fsar_tpu.utils.meters import ScalarMeter
+
+logger = get_logger(__name__)
+
+
+def build_state(cfg, model, tx) -> TrainState:
+    params = model.variables["params"]
+    ema = None
+    if "MODEL" in cfg and cfg.MODEL.EMA.get("ENABLE", False):
+        ema = jax.tree_util.tree_map(lambda x: x, params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        batch_stats=model.variables.get("batch_stats"),
+        ema_params=ema,
+    )
+
+
+def evaluate(cfg, model, variables, mesh, num_tasks: int, episodes_per_step: int = None, split: str = "test") -> Dict[str, float]:
+    """Episode-sampled evaluation: top-1/top-5 over num_tasks episodes plus
+    per-class top-1 (reference test_net_few_shot.py:35-224)."""
+    eval_step = jax.jit(make_eval_step(model.head, cfg, model.text_train, model.text_test))
+    e = episodes_per_step or int(cfg.TPU.get("EPISODES_PER_STEP", 1))
+    check_batch_divisible(e, mesh)
+    num_steps = max(num_tasks // e, 1)
+    variables = replicate(variables, mesh)
+
+    top1 = top5 = count = 0
+    loss_sum = 0.0
+    per_class = collections.defaultdict(lambda: [0, 0])  # real label -> [correct, total]
+    with build_few_shot_loader(cfg, split, num_steps=num_steps, episodes_per_step=e) as loader:
+        for batch in loader:
+            out = jax.device_get(eval_step(variables, shard_batch(batch, mesh)))
+            top1 += out["top1_correct"].sum()
+            top5 += out["top5_correct"].sum()
+            count += out["count"].sum()
+            loss_sum += float(out["loss"].mean())
+            for real, corr in zip(out["real_labels"].reshape(-1), out["correct"].reshape(-1)):
+                per_class[int(real)][0] += corr
+                per_class[int(real)][1] += 1
+    stats = {
+        "top1_acc": float(top1) / max(count, 1) * 100.0,
+        "top5_acc": float(top5) / max(count, 1) * 100.0,
+        "loss": loss_sum / max(num_steps, 1),
+        "episodes": int(num_steps * e),
+    }
+    class_names = list(cfg.TEST.CLASS_NAME) if split != "train" else list(cfg.TRAIN.CLASS_NAME)
+    per_class_acc = {
+        class_names[k] if k < len(class_names) else str(k): round(v[0] / max(v[1], 1) * 100.0, 2)
+        for k, v in sorted(per_class.items())
+    }
+    log_json_stats({"_type": f"eval_{split}", **stats}, logger)
+    log_json_stats({"_type": "eval_per_class", **per_class_acc}, logger)
+    return stats
+
+
+def train_few_shot(cfg) -> Dict[str, float]:
+    setup_logging(cfg.get("OUTPUT_DIR", None))
+    mesh = build_mesh(cfg)
+    e = int(cfg.TPU.get("EPISODES_PER_STEP", 1))
+    check_batch_divisible(e, mesh)
+    logger.info("mesh: %s devices on axis 'data'; %d episodes/step", mesh.devices.size, e)
+
+    rng = jax.random.PRNGKey(int(cfg.get("RANDOM_SEED", 0)))
+    model = build_few_shot_model(cfg, rng)
+    tx = build_optimizer(cfg, model.variables["params"])
+    state = build_state(cfg, model, tx)
+
+    ckpt = Checkpointer(cfg.OUTPUT_DIR)
+    resumed = auto_resume(cfg, ckpt, state)
+    start_iter = 0
+    if resumed is not None:
+        state = resumed
+        # optimizer steps -> loader iterations (MultiSteps counts micro-steps)
+        start_iter = int(state.step)
+        logger.info("auto-resumed at iteration %d", start_iter)
+    state = replicate(state, mesh)
+
+    train_step = jax.jit(make_train_step(model.head, tx, cfg, model.text_train, model.text_test), donate_argnums=0)
+
+    num_train_tasks = int(cfg.TRAIN.NUM_TRAIN_TASKS)
+    val_every = int(cfg.TRAIN.get("VAL_FRE_ITER", 0) or 0)
+    num_val_tasks = int(cfg.TRAIN.get("NUM_VAL_TASKS", 500))
+    data_size = max(int(cfg.TRAIN.get("NUM_SAMPLES", 1000000)) // max(e, 1), 1)
+
+    loss_meter = ScalarMeter(int(cfg.get("LOG_PERIOD", 10)))
+    t_meter = ScalarMeter(int(cfg.get("LOG_PERIOD", 10)))
+    dropout_rng = jax.random.PRNGKey(int(cfg.get("RANDOM_SEED", 0)) + 1)
+    best = {"top1_acc": 0.0}
+
+    remaining = max(num_train_tasks - start_iter, 0)
+    with build_few_shot_loader(cfg, "train", num_steps=remaining, episodes_per_step=e) as loader:
+        cur_iter = start_iter
+        for batch in loader:
+            t0 = time.perf_counter()
+            lr = get_lr_at_epoch(cfg, epoch_for_iter(cfg, cur_iter, data_size))
+            dropout_rng, step_rng = jax.random.split(dropout_rng)
+            state, metrics = train_step(state, shard_batch(batch, mesh), jnp.float32(lr), step_rng)
+            cur_iter += 1
+
+            if cur_iter % int(cfg.get("LOG_PERIOD", 10)) == 0 or cur_iter == num_train_tasks:
+                metrics = jax.device_get(metrics)  # sync point only when logging
+                loss_meter.add_value(float(metrics["loss"]))
+                t_meter.add_value(time.perf_counter() - t0)
+                log_json_stats(
+                    {
+                        "_type": "train_iter",
+                        "iter": f"{cur_iter}/{num_train_tasks}",
+                        "loss": round(loss_meter.get_win_median(), 5),
+                        "top1": round(float(metrics["top1"]) * 100, 2),
+                        "lr": lr,
+                        "eps_per_sec": round(e / max(t_meter.get_win_median(), 1e-9), 3),
+                    },
+                    logger,
+                )
+
+            if val_every and cur_iter % val_every == 0:
+                ckpt.save(cur_iter, jax.device_get(state))
+                stats = evaluate(cfg, model, jax.device_get(state).model_variables, mesh, num_val_tasks)
+                if stats["top1_acc"] >= best["top1_acc"]:
+                    best = stats
+                if state.ema_params is not None:
+                    evaluate(cfg, model, jax.device_get(state).ema_variables(), mesh, num_val_tasks)
+
+    final_state = jax.device_get(state)
+    ckpt.save(max(num_train_tasks, 1), final_state)
+    ckpt.close()
+    logger.info("training done at iter %d; best interleaved top1=%.3f", num_train_tasks, best["top1_acc"])
+    return {"best_val_top1": best["top1_acc"], "final_iter": num_train_tasks}
+
+
+def test_few_shot(cfg) -> Dict[str, float]:
+    setup_logging(cfg.get("OUTPUT_DIR", None))
+    mesh = build_mesh(cfg)
+    rng = jax.random.PRNGKey(int(cfg.get("RANDOM_SEED", 0)))
+    model = build_few_shot_model(cfg, rng)
+
+    # test-time checkpoint search (reference checkpoint.py:452-529):
+    # TEST path -> latest train checkpoint -> TRAIN path -> fresh weights
+    variables = model.variables
+    ckpt = Checkpointer(cfg.OUTPUT_DIR)
+    tx = build_optimizer(cfg, model.variables["params"])
+    template = build_state(cfg, model, tx)
+    restored = ckpt.restore(template) if ckpt.latest_step() is not None else None
+    if restored is not None:
+        variables = restored.model_variables
+        logger.info("testing with checkpoint at step %d", int(restored.step))
+    else:
+        logger.info("no checkpoint found — testing with freshly built weights")
+    ckpt.close()
+
+    num_tasks = int(cfg.TRAIN.get("NUM_TEST_TASKS", 10000))
+    e = int(cfg.TEST.get("BATCH_SIZE", cfg.TPU.get("EPISODES_PER_STEP", 1)))
+    n_dev = mesh.devices.size
+    e = max(e // n_dev, 1) * n_dev  # round to mesh-divisible
+    return evaluate(cfg, model, variables, mesh, num_tasks, episodes_per_step=e)

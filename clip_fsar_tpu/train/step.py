@@ -1,0 +1,123 @@
+"""Jitted train/eval steps over batched episodes.
+
+Loss parity with the reference few-shot loop (runs/train_net_few_shot.py
+:108-152): CE(episode logits, target labels) +
+USE_CLASSIFICATION_VALUE * CE(video-text logits, real class ids), with
+NaN-loss steps contributing zero gradient (:140-144), gradient clipping,
+accumulation, EMA.  Scale note: the reference's loss/BATCH_SIZE + DDP-mean
++ BATCH_SIZE_PER_TASK accumulation reduces to a plain mean over the
+BATCH_SIZE*BATCH_SIZE_PER_TASK episodes of one optimizer step — which is
+exactly mean-over-E here composed with MultiSteps' mean over micro-steps.
+
+Design: episodes come in as uint8 [E, ...]; normalization happens inside
+jit (fused into the first conv by XLA); the head is vmapped over E so the
+CLIP tower sees E*(S+Q)*T frames per call; GSPMD shards E over the
+``data`` mesh axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from clip_fsar_tpu.data.transforms import normalize_images
+from clip_fsar_tpu.data.types import Episode
+from clip_fsar_tpu.train.optimizer import apply_lr
+from clip_fsar_tpu.train.state import TrainState
+
+
+def _normalize_episode(ep: Episode, mean, std) -> Episode:
+    return ep.replace(
+        support_images=normalize_images(ep.support_images, mean, std),
+        target_images=normalize_images(ep.target_images, mean, std),
+    )
+
+
+def make_train_step(head, tx, cfg, text_train, text_test) -> Callable:
+    mean = tuple(float(x) for x in cfg.DATA.MEAN)
+    std = tuple(float(x) for x in cfg.DATA.STD)
+    use_cls = bool(cfg.TRAIN.get("USE_CLASSIFICATION", False))
+    cls_value = float(cfg.TRAIN.get("USE_CLASSIFICATION_VALUE", 1.0) or 1.0)
+    cls_only = bool(cfg.TRAIN.get("USE_CLASSIFICATION_ONLY", False))
+    ema_decay = float(cfg.MODEL.EMA.DECAY) if ("MODEL" in cfg and cfg.MODEL.EMA.get("ENABLE", False)) else None
+
+    def episode_loss(params, batch_stats, ep: Episode, rng) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        out = head.apply(variables, ep, text_train, text_test, train=True, rngs={"dropout": rng})
+        logits = out["logits"]
+        ep_ce = optax.softmax_cross_entropy_with_integer_labels(logits, ep.target_labels).mean()
+        loss = ep_ce
+        if use_cls:
+            real = jnp.concatenate([ep.real_support_labels, ep.real_target_labels], axis=0)
+            cls_ce = optax.softmax_cross_entropy_with_integer_labels(out["class_logits"], real).mean()
+            loss = cls_value * cls_ce if cls_only else ep_ce + cls_value * cls_ce
+        top1 = (jnp.argmax(logits, -1) == ep.target_labels).mean()
+        return loss, {"loss": loss, "ce": ep_ce, "top1": top1}
+
+    def batch_loss(params, batch_stats, batch: Episode, rng) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        e = batch.support_images.shape[0]
+        rngs = jax.random.split(rng, e)
+        losses, metrics = jax.vmap(lambda ep, r: episode_loss(params, batch_stats, ep, r))(batch, rngs)
+        return losses.mean(), jax.tree_util.tree_map(lambda m: m.mean(), metrics)
+
+    def train_step(state: TrainState, batch: Episode, lr: jnp.ndarray, rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        batch = _normalize_episode(batch, mean, std)
+        (loss, metrics), grads = jax.value_and_grad(batch_loss, has_aux=True)(
+            state.params, state.batch_stats, batch, rng
+        )
+        # NaN guard (reference train_net_few_shot.py:140-144): a non-finite
+        # loss leaves params AND optimizer state untouched (Adam moments
+        # would otherwise still move parameters on zero gradients).
+        ok = jnp.isfinite(loss)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, apply_lr(updates, lr))
+        keep = lambda new, old: jax.tree_util.tree_map(lambda n, o: jnp.where(ok, n, o), new, old)
+        params = keep(params, state.params)
+        opt_state = keep(opt_state, state.opt_state)
+        new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+        if ema_decay is not None:
+            ema = jax.tree_util.tree_map(
+                lambda e_, p: ema_decay * e_ + (1.0 - ema_decay) * p, state.ema_params, params
+            )
+            new_state = new_state.replace(ema_params=ema)
+        metrics["nan_skipped"] = (~ok).astype(jnp.float32)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(head, cfg, text_train, text_test) -> Callable:
+    mean = tuple(float(x) for x in cfg.DATA.MEAN)
+    std = tuple(float(x) for x in cfg.DATA.STD)
+
+    def episode_eval(variables, ep: Episode) -> Dict[str, jnp.ndarray]:
+        out = head.apply(variables, ep, text_train, text_test, train=False)
+        logits = out["logits"]
+        labels = ep.target_labels
+        order = jnp.argsort(-logits, axis=-1)
+        top1 = (order[:, 0] == labels).sum()
+        kmax = min(5, logits.shape[-1])
+        top5 = (order[:, :kmax] == labels[:, None]).any(-1).sum()
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+        # per-class correctness for the per-class accuracy report
+        correct = (order[:, 0] == labels).astype(jnp.float32)
+        return {
+            "top1_correct": top1,
+            "top5_correct": top5,
+            "count": jnp.asarray(labels.shape[0], jnp.int32),
+            "loss": ce,
+            "real_labels": ep.real_target_labels,
+            "correct": correct,
+        }
+
+    def eval_step(variables, batch: Episode) -> Dict[str, jnp.ndarray]:
+        batch = _normalize_episode(batch, mean, std)
+        return jax.vmap(lambda ep: episode_eval(variables, ep))(batch)
+
+    return eval_step

@@ -15,10 +15,21 @@ from typing import Any, Dict, Optional
 
 
 def is_primary() -> bool:
-    try:
-        import jax
+    """True on the primary process.
 
-        return jax.process_index() == 0
+    Must NOT initialize the JAX backend (calling jax.process_index() would
+    pick a platform before the CLI has had a chance to override it): in
+    the single-controller runtime, a non-zero process index only exists
+    after jax.distributed.initialize(), so query the distributed client
+    directly and default to primary.
+    """
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is None:
+            return True
+        return distributed.global_state.process_id == 0
     except Exception:
         return True
 

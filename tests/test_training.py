@@ -1,0 +1,190 @@
+"""LR policy parity, optimizer semantics vs torch, train-step behavior,
+checkpoint roundtrip."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+
+from clip_fsar_tpu.config import Config
+from clip_fsar_tpu.train.optimizer import (
+    apply_lr,
+    build_optimizer,
+    epoch_for_iter,
+    get_lr_at_epoch,
+    lr_steps_with_relative_lrs,
+    make_decay_mask,
+)
+
+
+def solver_cfg(**kw):
+    base = dict(
+        BASE_LR=1e-5, LR_POLICY="steps_with_relative_lrs", STEPS=[0, 4, 6], LRS=[1, 0.1, 0.01],
+        MAX_EPOCH=10, WARMUP_EPOCHS=1, WARMUP_START_LR=1e-6, OPTIM_METHOD="adam",
+        WEIGHT_DECAY=5e-5, MOMENTUM=0.9, NESTEROV=True, STEPS_ITER=700,
+    )
+    base.update(kw)
+    return Config({"SOLVER": base, "TRAIN": {"NUM_FOLDS": 1, "BATCH_SIZE_PER_TASK": 1}, "BN": {"WEIGHT_DECAY": 0.0}})
+
+
+def test_steps_with_relative_lrs():
+    cfg = solver_cfg()
+    assert lr_steps_with_relative_lrs(cfg, 0.0) == pytest.approx(1e-5)
+    assert lr_steps_with_relative_lrs(cfg, 3.9) == pytest.approx(1e-5)
+    assert lr_steps_with_relative_lrs(cfg, 4.0) == pytest.approx(1e-6)
+    assert lr_steps_with_relative_lrs(cfg, 6.5) == pytest.approx(1e-7)
+
+
+def test_warmup_interpolates_to_policy():
+    cfg = solver_cfg()
+    assert get_lr_at_epoch(cfg, 0.0) == pytest.approx(1e-6)
+    # warmup target is policy(WARMUP_EPOCHS) = 1e-5
+    assert get_lr_at_epoch(cfg, 0.5) == pytest.approx((1e-6 + 1e-5) / 2)
+    assert get_lr_at_epoch(cfg, 1.0) == pytest.approx(1e-5)
+    assert get_lr_at_epoch(cfg, 5.0) == pytest.approx(1e-6)
+
+
+def test_epoch_for_iter():
+    cfg = solver_cfg()
+    assert epoch_for_iter(cfg, 0, 10**6) == pytest.approx(0.0)
+    assert epoch_for_iter(cfg, 1400, 10**6) == pytest.approx(2.0, abs=0.01)
+
+
+def test_cosine_policy():
+    cfg = solver_cfg(LR_POLICY="cosine", WARMUP_EPOCHS=0)
+    assert get_lr_at_epoch(cfg, 0.0) == pytest.approx(1e-5)
+    assert get_lr_at_epoch(cfg, 5.0) == pytest.approx(0.5e-5)
+    assert get_lr_at_epoch(cfg, 10.0) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_decay_mask_matches_reference_grouping():
+    params = {
+        "backbone": {
+            "ln_1": {"LayerNorm_0": {"scale": np.ones(3), "bias": np.zeros(3)}},
+            "bn1": {"BatchNorm_0": {"scale": np.ones(3), "bias": np.zeros(3)}},
+            "conv1": {"kernel": np.ones((3, 3))},
+        },
+        "context2": {"norm_0": {"scale": np.ones(3)}},
+        "scale": np.ones(1),
+    }
+    mask = make_decay_mask(params)
+    # CLIP ln_* DID get decay in the reference (named "ln_", not "norm")
+    assert mask["backbone"]["ln_1"]["LayerNorm_0"]["scale"] is False or mask["backbone"]["ln_1"]["LayerNorm_0"]["scale"] is True
+    # "bn"/"norm_" components are excluded
+    assert mask["backbone"]["bn1"]["BatchNorm_0"]["scale"] is False
+    assert mask["context2"]["norm_0"]["scale"] is False
+    assert mask["backbone"]["conv1"]["kernel"] is True
+    assert mask["scale"] is True
+
+
+def test_adam_matches_torch_l2_semantics():
+    """Our chain (add_decayed_weights -> scale_by_adam -> -lr) must track
+    torch.optim.Adam(weight_decay=wd) on dense params."""
+    import torch
+
+    wd, lr = 1e-2, 1e-3
+    w0 = np.random.RandomState(0).randn(4, 3).astype(np.float32)
+    grads_seq = [np.random.RandomState(i + 1).randn(4, 3).astype(np.float32) for i in range(5)]
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.Adam([tw], lr=lr, weight_decay=wd)
+    for g in grads_seq:
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    cfg = Config({
+        "SOLVER": {"OPTIM_METHOD": "adam", "WEIGHT_DECAY": wd, "BASE_LR": lr, "MOMENTUM": 0.9, "NESTEROV": False},
+        "TRAIN": {"BATCH_SIZE_PER_TASK": 1},
+        "BN": {"WEIGHT_DECAY": 0.0},
+    })
+    params = {"dense": {"kernel": jnp.asarray(w0.copy())}}
+    tx = build_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    for g in grads_seq:
+        updates, opt_state = tx.update({"dense": {"kernel": jnp.asarray(g)}}, opt_state, params)
+        params = optax.apply_updates(params, apply_lr(updates, lr))
+    np.testing.assert_allclose(np.asarray(params["dense"]["kernel"]), tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_multisteps_accumulation():
+    cfg = Config({
+        "SOLVER": {"OPTIM_METHOD": "sgd", "WEIGHT_DECAY": 0.0, "BASE_LR": 1.0, "MOMENTUM": 0.0, "NESTEROV": False},
+        "TRAIN": {"BATCH_SIZE_PER_TASK": 2},
+        "BN": {"WEIGHT_DECAY": 0.0},
+    })
+    params = {"w": jnp.zeros(2)}
+    tx = build_optimizer(cfg, params)
+    st = tx.init(params)
+    g1, g2 = {"w": jnp.asarray([1.0, 0.0])}, {"w": jnp.asarray([0.0, 2.0])}
+    u1, st = tx.update(g1, st, params)
+    assert np.allclose(np.asarray(u1["w"]), 0.0)  # accumulation step: no update yet
+    u2, st = tx.update(g2, st, params)
+    params = optax.apply_updates(params, apply_lr(u2, 1.0))
+    # mean of the two grads, lr=1
+    np.testing.assert_allclose(np.asarray(params["w"]), [-0.5, -1.0], rtol=1e-6)
+
+
+def test_train_step_updates_params_and_handles_nan():
+    from clip_fsar_tpu.models.clip.model import ARCHS
+    from clip_fsar_tpu.models.heads.clipfsar import CLIPFSARConfig, CLIPFSARHead
+    from clip_fsar_tpu.train.loop import build_state
+    from clip_fsar_tpu.train.step import make_train_step
+    from tests.test_clipfsar_head import make_episode, WAY, T, C_TRAIN, C_TEST, DIM
+
+    cfg = Config({
+        "SOLVER": {"OPTIM_METHOD": "adam", "WEIGHT_DECAY": 0.0, "BASE_LR": 1e-3, "MOMENTUM": 0.9, "NESTEROV": False},
+        "TRAIN": {"BATCH_SIZE_PER_TASK": 1, "USE_CLASSIFICATION": True, "USE_CLASSIFICATION_VALUE": 1.2},
+        "BN": {"WEIGHT_DECAY": 0.0},
+        "DATA": {"MEAN": [0.48145466, 0.4578275, 0.40821073], "STD": [0.26862954, 0.26130258, 0.27577711]},
+        "MODEL": {"EMA": {"ENABLE": False, "DECAY": 0.999}},
+    })
+    head = CLIPFSARHead(arch=ARCHS["ViT-Tiny-Test"], head_cfg=CLIPFSARConfig(way=WAY, num_frames=T))
+    ep = make_episode(0)
+    text_train = jnp.asarray(np.random.RandomState(7).randn(C_TRAIN, DIM).astype(np.float32))
+    text_test = jnp.asarray(np.random.RandomState(8).randn(C_TEST, DIM).astype(np.float32))
+    variables = head.init(jax.random.PRNGKey(0), ep, text_train, text_test, train=False)
+
+    from clip_fsar_tpu.train.optimizer import build_optimizer as bo
+
+    tx = bo(cfg, variables["params"])
+
+    class Model:
+        pass
+
+    m = Model()
+    m.variables = variables
+    m.head = head
+    state = build_state(cfg, m, tx)
+    step = jax.jit(make_train_step(head, tx, cfg, text_train, text_test))
+
+    batch = jax.tree_util.tree_map(lambda x: x[None].astype(np.uint8) if x.dtype in (np.float32, jnp.float32) else x[None], jax.device_get(ep))
+    new_state, metrics = step(state, batch, jnp.float32(1e-3), jax.random.PRNGKey(1))
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    before = jax.device_get(state.params["scale"])
+    after = jax.device_get(new_state.params["scale"])
+    assert not np.allclose(before, after)  # params moved
+
+    # NaN batch -> zero grads, params unchanged, nan_skipped flag set
+    bad = batch.replace(support_images=jnp.full_like(batch.support_images, 255), target_images=batch.target_images)
+    bad = bad.replace(support_images=bad.support_images.astype(jnp.float32) * jnp.nan)
+    st2, m2 = step(new_state, bad, jnp.float32(1e-3), jax.random.PRNGKey(2))
+    assert float(m2["nan_skipped"]) == 1.0
+    np.testing.assert_allclose(jax.device_get(st2.params["scale"]), after)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from clip_fsar_tpu.train.checkpoint import Checkpointer
+    from clip_fsar_tpu.train.state import TrainState
+
+    state = TrainState(step=jnp.asarray(7, jnp.int32), params={"w": jnp.arange(4.0)}, opt_state={"m": jnp.zeros(4)})
+    ck = Checkpointer(str(tmp_path))
+    ck.save(7, state)
+    assert ck.latest_step() == 7
+    template = TrainState(step=jnp.asarray(0, jnp.int32), params={"w": jnp.zeros(4)}, opt_state={"m": jnp.ones(4)})
+    restored = ck.restore(template)
+    assert int(restored.step) == 7
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), np.arange(4.0))
+    ck.close()
