@@ -87,21 +87,36 @@ def encode_class_names(cfg, arch: CLIPArch, clip_variables, class_names, prompt:
 
 def build_few_shot_model(cfg, rng=None) -> FewShotModel:
     rng = rng if rng is not None else jax.random.PRNGKey(int(cfg.get("RANDOM_SEED", 0)))
-    arch, clip_vars = load_or_init_clip(cfg, rng)
 
-    prompt = cfg.TEST.get("PROMPT", None) if "TEST" in cfg else None
-    text_train = encode_class_names(cfg, arch, clip_vars, list(cfg.TRAIN.CLASS_NAME), prompt)
-    text_test = encode_class_names(cfg, arch, clip_vars, list(cfg.TEST.CLASS_NAME), prompt)
+    needs_clip = cfg.VIDEO.HEAD.NAME == "CNN_OTAM_CLIPFSAR" or cfg.VIDEO.HEAD.BACKBONE_NAME in ARCHS
+    if needs_clip:
+        arch, clip_vars = load_or_init_clip(cfg, rng)
+        prompt = cfg.TEST.get("PROMPT", None) if "TEST" in cfg else None
+        names_train = list(cfg.TRAIN.get("CLASS_NAME", []) or [])
+        names_test = list(cfg.TEST.get("CLASS_NAME", []) or [])
+        dim = arch.embed_dim
+        text_train = (
+            encode_class_names(cfg, arch, clip_vars, names_train, prompt) if names_train else jnp.zeros((1, dim))
+        )
+        text_test = encode_class_names(cfg, arch, clip_vars, names_test, prompt) if names_test else jnp.zeros((1, dim))
+    else:
+        arch, clip_vars = None, None
+        text_train = text_test = jnp.zeros((1, 1), jnp.float32)
 
     head_name = cfg.VIDEO.HEAD.NAME
-    head_cls = HEAD_REGISTRY.get(head_name)
-    head: CLIPFSARHead = head_cls(
+    head_factory = HEAD_REGISTRY.get(head_name)
+    head = head_factory(
+        cfg,
         arch=arch,
-        head_cfg=CLIPFSARConfig.from_cfg(cfg),
         dtype=_dtype_from_cfg(cfg),
         remat=bool(cfg.TPU.get("REMAT", False)) if "TPU" in cfg else False,
         attention_backend="pallas" if ("TPU" in cfg and cfg.TPU.get("PALLAS_ATTENTION", False)) else "xla",
     )
+
+    if not isinstance(head, CLIPFSARHead):
+        # classic CNN_FSHead-style heads: init with a dummy episode and
+        # splice in pretrained backbone weights when available
+        return _assemble_classic_head(cfg, head, rng, text_train, text_test, clip_vars)
 
     # assemble head variables without running the full vision tower:
     # backbone <- CLIP visual; context2/scale <- fresh init
@@ -122,5 +137,78 @@ def build_few_shot_model(cfg, rng=None) -> FewShotModel:
     return FewShotModel(head=head, variables=variables, text_train=text_train, text_test=text_test)
 
 
-# registry entry matching the reference head name
-HEAD_REGISTRY.register(CLIPFSARHead, name="CNN_OTAM_CLIPFSAR")
+def _assemble_classic_head(cfg, head, rng, text_train, text_test, clip_vars=None) -> FewShotModel:
+    import numpy as np
+
+    from clip_fsar_tpu.data.types import Episode
+
+    t = int(cfg.DATA.NUM_INPUT_FRAMES)
+    res = int(cfg.DATA.TRAIN_CROP_SIZE)
+    way = int(cfg.TRAIN.WAY)
+    dummy = Episode(
+        support_images=jnp.zeros((way, t, res, res, 3), jnp.float32),
+        support_labels=jnp.arange(way, dtype=jnp.int32),
+        real_support_labels=jnp.arange(way, dtype=jnp.int32),
+        target_images=jnp.zeros((way, t, res, res, 3), jnp.float32),
+        target_labels=jnp.arange(way, dtype=jnp.int32),
+        real_target_labels=jnp.arange(way, dtype=jnp.int32),
+        batch_class_list=jnp.arange(way, dtype=jnp.int32),
+    )
+    variables = jax.jit(lambda r, ep: head.init(r, ep, train=False))(rng, dummy)
+    variables = jax.device_get(variables)
+    variables = dict(variables)
+
+    if clip_vars is not None:
+        # CLIP-tower backbone under a classic head: splice the CLIP visual
+        variables["params"] = dict(variables["params"])
+        variables["params"]["backbone"] = clip_vars["params"]["visual"]
+        if "batch_stats" in clip_vars:
+            bs = dict(variables.get("batch_stats", {}))
+            bs["backbone"] = clip_vars["batch_stats"]["visual"]
+            variables["batch_stats"] = bs
+
+    # torchvision ImageNet weights for the resnet backbones, if cached
+    name = cfg.VIDEO.HEAD.BACKBONE_NAME
+    path = cfg.TRAIN.get("BACKBONE_WEIGHTS", "") or ""
+    if not path:
+        for root in (os.path.expanduser("~/.cache/torch/hub/checkpoints"), "./weights"):
+            import glob
+
+            hits = sorted(glob.glob(os.path.join(root, f"{name}*.pth")))
+            if hits:
+                path = hits[0]
+                break
+    if path and os.path.exists(path):
+        import torch
+
+        from clip_fsar_tpu.models.resnet import convert_torchvision_resnet
+
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        conv = convert_torchvision_resnet(sd, depth=name)
+        variables["params"] = dict(variables["params"])
+        variables["params"]["backbone"] = conv["params"]
+        bs = dict(variables.get("batch_stats", {}))
+        bs["backbone"] = conv["batch_stats"]
+        variables["batch_stats"] = bs
+        logger.info("Loaded torchvision %s weights from %s", name, path)
+    return FewShotModel(head=head, variables=variables, text_train=text_train, text_test=text_test)
+
+
+# registry entry matching the reference head name: a factory so every head
+# shares the (cfg, **build options) calling convention
+@HEAD_REGISTRY.register(name="CNN_OTAM_CLIPFSAR")
+def _build_clipfsar_head(cfg, arch=None, dtype=jnp.float32, remat=False, attention_backend="xla", **kw):
+    if arch is None:
+        arch = ARCHS[cfg.VIDEO.HEAD.BACKBONE_NAME]
+    return CLIPFSARHead(
+        arch=arch,
+        head_cfg=CLIPFSARConfig.from_cfg(cfg),
+        dtype=dtype,
+        remat=remat,
+        attention_backend=attention_backend,
+    )
+
+
+# register the classic heads (import side effect)
+from clip_fsar_tpu.models.heads import fsheads as _fsheads  # noqa: E402,F401
+from clip_fsar_tpu.models.heads import molo as _molo  # noqa: E402,F401

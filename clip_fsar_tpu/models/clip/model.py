@@ -22,8 +22,8 @@ import dataclasses
 from typing import Optional, Tuple, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
-from jax import checkpoint as jax_checkpoint
 
 from clip_fsar_tpu.ops.attention import causal_mask, merge_heads, mha, split_heads
 
@@ -164,7 +164,7 @@ class Transformer(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         block_cls = ResidualAttentionBlock
         if self.remat:
-            block_cls = nn.remat(ResidualAttentionBlock, policy=jax_checkpoint.checkpoint_policies.nothing_saveable)
+            block_cls = nn.remat(ResidualAttentionBlock, policy=jax.checkpoint_policies.nothing_saveable)
         for i in range(self.layers):
             x = block_cls(
                 self.width,

@@ -125,14 +125,89 @@ class TransformerV1(nn.Module):
         return x
 
 
-def sinusoidal_table(max_len: int, d_model: int, a_scale: float = 10.0, b_scale: float = 1.0) -> np.ndarray:
-    """Sinusoidal positional table (reference PositionalEncoder,
-    few_shot.py:1658-1685): pe[pos, 2i] = sin(pos/A/10000^(2i/d)),
-    pe[pos, 2i+1] = cos(...), then the whole embedding is scaled by B
-    relative to sqrt(d_model)-scaled inputs at call sites."""
+def hyrsm_positional_table(max_len: int, d_model: int) -> np.ndarray:
+    """HyRSM's PositionalEncoder table (reference few_shot.py:1658-1674):
+    pe[pos, i] = sin(pos / 10000^(2i/d)), pe[pos, i+1] = cos(pos /
+    10000^(2(i+1)/d)) for even i — note the exponent uses the raw even
+    index (a reference quirk, kept for parity).  Apply as
+    ``x * sqrt(d/A) + B * pe``."""
     pe = np.zeros((max_len, d_model), dtype=np.float32)
-    pos = np.arange(max_len)[:, None].astype(np.float32)
-    div = np.power(10000.0, np.arange(0, d_model, 2).astype(np.float32) / d_model)
-    pe[:, 0::2] = np.sin(pos / a_scale / div)
-    pe[:, 1::2] = np.cos(pos / a_scale / div[: pe[:, 1::2].shape[1]])
-    return b_scale * pe
+    pos = np.arange(max_len)[:, None].astype(np.float64)
+    even = np.arange(0, d_model, 2).astype(np.float64)
+    pe[:, 0::2] = np.sin(pos / np.power(10000.0, 2 * even / d_model))
+    pe[:, 1::2] = np.cos(pos / np.power(10000.0, 2 * (even + 1) / d_model))
+    return pe
+
+
+def trx_positional_table(max_len: int, d_model: int, pe_scale_factor: float = 0.1) -> np.ndarray:
+    """TRX's PositionalEncoding table (reference few_shot.py:1204-1223):
+    the standard transformer sinusoid scaled by pe_scale_factor; applied
+    additively."""
+    pe = np.zeros((max_len, d_model), dtype=np.float32)
+    pos = np.arange(max_len)[:, None].astype(np.float64)
+    div = np.exp(np.arange(0, d_model, 2).astype(np.float64) * -(np.log(10000.0) / d_model))
+    pe[:, 0::2] = np.sin(pos * div) * pe_scale_factor
+    pe[:, 1::2] = np.cos(pos * div) * pe_scale_factor
+    return pe
+
+
+class ResidualMHA(nn.Module):
+    """Post-norm residual MHA (reference MultiHeadAttention,
+    few_shot.py:1594-1640): biasless q/k/v projections, scaled-dot
+    attention with dropout on the probabilities, output projection +
+    dropout, then LayerNorm(output + residual-q)."""
+
+    n_head: int
+    d_model: int
+    d_k: int
+    d_v: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, deterministic: bool = True) -> jnp.ndarray:
+        residual = q
+        dense = lambda f, name: nn.Dense(f, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        qh = split_heads(dense(self.n_head * self.d_k, "w_qs")(q), self.n_head)
+        kh = split_heads(dense(self.n_head * self.d_k, "w_ks")(k), self.n_head)
+        vh = split_heads(dense(self.n_head * self.d_v, "w_vs")(v), self.n_head)
+        # ScaledDotProductAttention applies dropout to the probabilities
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32) / (self.d_k**0.5)
+        probs = nn.softmax(logits, axis=-1).astype(qh.dtype)
+        probs = nn.Dropout(0.1, deterministic=deterministic)(probs)
+        out = merge_heads(jnp.einsum("bhqk,bhkd->bhqd", probs, vh))
+        out = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name="fc")(out)
+        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        ln = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="layer_norm")
+        return ln((out + residual).astype(jnp.float32)).astype(out.dtype)
+
+
+class PreNormSelfAttention(nn.Module):
+    """x + Attention(LN(x)) (reference PreNormattention + Attention,
+    few_shot.py:1024-1033, 1086-1113)."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True) -> jnp.ndarray:
+        ln = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="norm")
+        y = ln(x.astype(jnp.float32)).astype(x.dtype)
+        inner = self.heads * self.dim_head
+        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="to_qkv")(y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        out = merge_heads(mha(split_heads(q, self.heads), split_heads(k, self.heads), split_heads(v, self.heads)))
+        if not (self.heads == 1 and self.dim_head == self.dim):
+            out = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="to_out")(out)
+            out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        return out + x
+
+
+def class_sorted_order(labels: jnp.ndarray) -> jnp.ndarray:
+    """Stable argsort by episode-local label: gives the class-blocked
+    support order the reference materializes with unique+index_select
+    (static shapes: every class has the same shot count)."""
+    return jnp.argsort(labels, stable=True)

@@ -1,0 +1,493 @@
+"""The non-CLIP few-shot heads (reference models/base/few_shot.py):
+
+  CNN_TSN              :1533-1572  mean-pool cosine/norm baseline
+  CNN_OTAM             :1405-1444  bidirectional OTAM, lambda=0.1
+  CNN_TRX              :1227-1366  temporal-relational cross-transformers
+  CNN_CrossTransformer :1451-1529  spatial query-aligned prototypes
+  CNN_HyRSM_1shot      :1689-1783  hybrid relation + set-matching Bi-MHM
+  CNN_HyRSM_5shot      :1790-1900  same with class-mean prototypes
+
+All are pure flax modules over Episode pytrees with static shapes: the
+reference's torch.unique/index_select class grouping becomes a stable
+argsort into [WAY, SHOT] blocks (every episode has exactly SHOT clips per
+class) — identical math, jit-able.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from clip_fsar_tpu.data.types import Episode
+from clip_fsar_tpu.models.clip.model import ARCHS, ModifiedResNet, VisionTransformer
+from clip_fsar_tpu.models.heads.common import (
+    PreNormSelfAttention,
+    ResidualMHA,
+    class_mean,
+    class_sorted_order,
+    cos_sim,
+    hyrsm_positional_table,
+    trx_positional_table,
+)
+from clip_fsar_tpu.models.resnet import TorchResNet, _RESNET_SPECS
+from clip_fsar_tpu.ops.otam import otam_distance
+from clip_fsar_tpu.utils.registry import HEAD_REGISTRY
+
+
+def make_backbone(name: str, dtype, train_bn: bool = False):
+    """(module, feature_dim) for a backbone name.  torchvision ResNets for
+    the classic heads; CLIP towers are also accepted."""
+    if name in _RESNET_SPECS:
+        return TorchResNet(depth=name, train=train_bn, dtype=dtype), _RESNET_SPECS[name][2]
+    if name in ARCHS:
+        a = ARCHS[name]
+        if a.is_vit:
+            m = VisionTransformer(
+                input_resolution=a.image_resolution, patch_size=a.vision_patch_size, width=a.vision_width,
+                layers=a.vision_layers, heads=a.vision_heads, output_dim=a.embed_dim, dtype=dtype,
+            )
+        else:
+            m = ModifiedResNet(
+                layers=a.vision_layers, output_dim=a.embed_dim, heads=a.vision_heads,
+                input_resolution=a.image_resolution, width=a.vision_width, train=train_bn, dtype=dtype,
+            )
+        return m, a.embed_dim
+    raise KeyError(f"Unknown backbone {name!r}")
+
+
+def _encode(backbone, images: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """[N, T, H, W, 3] -> [N, T, D]."""
+    n, t = images.shape[:2]
+    flat = images.reshape((n * t,) + images.shape[2:])
+    return backbone(flat).reshape(n, t, dim).astype(jnp.float32)
+
+
+def _grouped(feats: jnp.ndarray, labels: jnp.ndarray, way: int) -> jnp.ndarray:
+    """Class-blocked view [WAY, SHOT, ...] in label order (stable)."""
+    order = class_sorted_order(labels)
+    shot = feats.shape[0] // way
+    return feats[order].reshape((way, shot) + feats.shape[1:])
+
+
+class CNNTSNHead(nn.Module):
+    """CNN_TSN: mean frame feature, cosine similarity to every support,
+    class-mean of similarities (or -||.||^2 to prototypes)."""
+
+    backbone_name: str
+    way: int
+    num_frames: int
+    norm_sq_dist: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.backbone, self.dim = make_backbone(self.backbone_name, self.dtype)
+
+    def __call__(self, episode: Episode, *unused, train: bool = True) -> Dict[str, Any]:
+        sup = _encode(self.backbone, episode.support_images, self.dim).mean(axis=1)  # [S, D]
+        tgt = _encode(self.backbone, episode.target_images, self.dim).mean(axis=1)  # [Q, D]
+        if self.norm_sq_dist:
+            protos = class_mean(sup, episode.support_labels, self.way)
+            d = tgt[:, None, :] - protos[None, :, :]
+            logits = -jnp.sum(d * d, axis=-1)
+        else:
+            sim = cos_sim(tgt, sup)  # [Q, S]
+            logits = class_mean(sim.T, episode.support_labels, self.way).T  # [Q, WAY]
+        return {"logits": logits, "class_logits": None}
+
+
+class CNNOTAMHead(nn.Module):
+    """CNN_OTAM: per-support-clip bidirectional OTAM (lambda=0.1), then
+    class-mean over support clips."""
+
+    backbone_name: str
+    way: int
+    num_frames: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.backbone, self.dim = make_backbone(self.backbone_name, self.dtype)
+
+    def __call__(self, episode: Episode, *unused, train: bool = True) -> Dict[str, Any]:
+        sup = _encode(self.backbone, episode.support_images, self.dim)  # [S, T, D]
+        tgt = _encode(self.backbone, episode.target_images, self.dim)  # [Q, T, D]
+        q = tgt.reshape(-1, self.dim)
+        s = sup.reshape(-1, self.dim)
+        t = self.num_frames
+        dists = (1.0 - cos_sim(q, s)).reshape(tgt.shape[0], t, sup.shape[0], t).transpose(0, 2, 1, 3)
+        cum = otam_distance(dists, lbda=0.1)  # [Q, S]
+        class_dists = class_mean(cum.T, episode.support_labels, self.way).T  # [Q, WAY]
+        return {"logits": -class_dists, "class_logits": None}
+
+
+class TemporalCrossTransformer(nn.Module):
+    """One tuple-cardinality TRX block (reference :1227-1326)."""
+
+    in_dim: int
+    out_dim: int
+    num_frames: int
+    way: int
+    temporal_set_size: int = 3
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, support: jnp.ndarray, support_labels: jnp.ndarray, queries: jnp.ndarray, deterministic: bool = True):
+        t = self.num_frames
+        pe = jnp.asarray(trx_positional_table(int(t * 1.5), self.in_dim))
+        drop = nn.Dropout(self.dropout, deterministic=deterministic)
+        support = drop(support + pe[: support.shape[1]])
+        queries = drop(queries + pe[: queries.shape[1]])
+
+        tuples = np.asarray(list(itertools.combinations(range(t), self.temporal_set_size)))  # [n_tuples, size]
+        n_tuples = tuples.shape[0]
+        # [N, n_tuples, size*D]
+        s = support[:, tuples, :].reshape(support.shape[0], n_tuples, -1)
+        q = queries[:, tuples, :].reshape(queries.shape[0], n_tuples, -1)
+
+        k_linear = nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=jnp.float32, name="k_linear")
+        v_linear = nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=jnp.float32, name="v_linear")
+        norm_k = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="norm_k")
+
+        sup_ks = norm_k(k_linear(s).astype(jnp.float32))
+        q_ks = norm_k(k_linear(q).astype(jnp.float32))
+        sup_vs = v_linear(s).astype(jnp.float32)
+        q_vs = v_linear(q).astype(jnp.float32)
+
+        nq = q.shape[0]
+        shot = support.shape[0] // self.way
+        # class-blocked keys/values [WAY, SHOT, n_tuples, out]
+        ks = _grouped(sup_ks, support_labels, self.way)
+        vs = _grouped(sup_vs, support_labels, self.way)
+
+        # scores: [Q, WAY, SHOT, tq, ts] -> joint softmax over (SHOT, ts)
+        scores = jnp.einsum("qtd,wksd->qwkts", q_ks, ks) / jnp.sqrt(jnp.float32(self.out_dim))
+        scores = scores.transpose(0, 1, 3, 2, 4).reshape(nq, self.way, n_tuples, shot * n_tuples)
+        probs = nn.softmax(scores, axis=-1).reshape(nq, self.way, n_tuples, shot, n_tuples)
+        proto = jnp.einsum("qwtks,wksd->qwtd", probs, vs)  # [Q, WAY, tq, out]
+
+        diff = q_vs[:, None, :, :] - proto  # [Q, WAY, tq, out]
+        norm_sq = jnp.sum(diff * diff, axis=(-2, -1))
+        return -norm_sq / n_tuples  # [Q, WAY]
+
+
+class CNNTRXHead(nn.Module):
+    """CNN_TRX: mean of TemporalCrossTransformer logits over cardinalities
+    [2, 3] (reference :1330-1366)."""
+
+    backbone_name: str
+    way: int
+    num_frames: int
+    temp_set: tuple = (2, 3)
+    out_dim: int = 1152
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.backbone, self.dim = make_backbone(self.backbone_name, self.dtype)
+        self.transformers = [
+            TemporalCrossTransformer(
+                in_dim=self.dim, out_dim=self.out_dim, num_frames=self.num_frames, way=self.way,
+                temporal_set_size=s, dtype=self.dtype, name=f"trx_{s}",
+            )
+            for s in self.temp_set
+        ]
+
+    def __call__(self, episode: Episode, *unused, train: bool = True) -> Dict[str, Any]:
+        sup = _encode(self.backbone, episode.support_images, self.dim)
+        tgt = _encode(self.backbone, episode.target_images, self.dim)
+        logits = [tr(sup, episode.support_labels, tgt, deterministic=not train) for tr in self.transformers]
+        return {"logits": jnp.stack(logits, -1).mean(-1), "class_logits": None}
+
+
+class CNNCrossTransformerHead(nn.Module):
+    """CNN_CrossTransformer: query-aligned prototypes over (shot x frame)
+    support tokens, shared key/query projection (reference :1451-1529)."""
+
+    backbone_name: str
+    way: int
+    shot: int
+    num_frames: int
+    hidden_dim: int = 1024
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.backbone, self.dim = make_backbone(self.backbone_name, self.dtype)
+        self.key_head = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)
+        self.value_head = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)
+
+    def __call__(self, episode: Episode, *unused, train: bool = True) -> Dict[str, Any]:
+        sup = _encode(self.backbone, episode.support_images, self.dim)  # [S, T, D]
+        tgt = _encode(self.backbone, episode.target_images, self.dim)  # [Q, T, D]
+        sup = _grouped(sup, episode.support_labels, self.way).reshape(self.way, self.shot, self.num_frames, self.dim)
+
+        query_k = self.key_head(tgt).astype(jnp.float32)  # [Q, T, H] (query_head == key_head)
+        sup_k = self.key_head(sup).astype(jnp.float32)  # [WAY, SHOT, T, H]
+        sup_v = self.value_head(sup).astype(jnp.float32)
+        # flatten to frame-major (t*shot + j) token order, matching the
+        # reference's permute(0,2,3,1).view(way, hidden, T*shot)
+        sup_k = sup_k.transpose(0, 2, 1, 3).reshape(self.way, self.num_frames * self.shot, self.hidden_dim)
+        sup_v = sup_v.transpose(0, 2, 1, 3).reshape(self.way, self.num_frames * self.shot, self.hidden_dim)
+
+        attn = jnp.einsum("qtd,wvd->qwtv", query_k, sup_k) * (self.hidden_dim**-0.5)
+        attn = nn.softmax(attn, axis=-1)
+        proto = jnp.einsum("qwtv,wvd->qwtd", attn, sup_v)  # [Q, WAY, T, H]
+
+        query_v = self.value_head(tgt).astype(jnp.float32)  # [Q, T, H]
+        pn = proto / (jnp.linalg.norm(proto, axis=-1, keepdims=True) + 1e-12)
+        qn = query_v / (jnp.linalg.norm(query_v, axis=-1, keepdims=True) + 1e-12)
+        logits = jnp.einsum("qwtd,qtd->qw", pn, qn) / 8.0  # reference divides by 8
+        return {"logits": logits, "class_logits": None}
+
+
+class _HyRSMFeatures(nn.Module):
+    """Shared HyRSM feature machinery: sinusoidal pe -> pre-norm temporal
+    self-attention -> relu; per-frame classification logits; cross-video
+    relation attention; 2D->1D fuse conv."""
+
+    dim: int
+    num_frames: int
+    num_class: int = 64
+    heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+    position_a: float = 10.0
+    position_b: float = 1.0
+
+    def setup(self):
+        self.temporal_atte_before = PreNormSelfAttention(self.dim, heads=self.heads, dim_head=self.dim // self.heads, dropout=0.2, dtype=self.dtype)
+        self.temporal_atte = ResidualMHA(self.heads, self.dim, self.dim // self.heads, self.dim // self.heads, dropout=0.05, dtype=self.dtype)
+        self.layer2 = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)  # conv1d k=1 == dense
+        self.classification_layer = nn.Dense(self.num_class, dtype=self.dtype, param_dtype=jnp.float32)
+        self.pe_drop = nn.Dropout(0.1)
+
+    def pe(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        table = jnp.asarray(hyrsm_positional_table(20, self.dim))
+        x = x * jnp.sqrt(jnp.float32(self.dim) / self.position_a).astype(x.dtype)
+        x = x + self.position_b * table[: x.shape[1]]
+        return self.pe_drop(x, deterministic=deterministic)
+
+    def temporal(self, feats: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        return nn.relu(self.temporal_atte_before(self.pe(feats, deterministic), deterministic=deterministic))
+
+    def relate(self, support: jnp.ndarray, target: jnp.ndarray, deterministic: bool):
+        """support [S, T, D], target [Q, T, D] -> query-conditioned
+        support [Q, S, T, D] and fused target [Q, T, D]."""
+        q = target.shape[0]
+        sup_ext = jnp.broadcast_to(support[None], (q,) + support.shape)  # [Q, S, T, D]
+        feature_in = jnp.concatenate([sup_ext.mean(2), target[:, None].mean(2)], axis=1)  # [Q, S+1, D]
+        feature_in = nn.relu(self.temporal_atte(feature_in, feature_in, feature_in, deterministic=deterministic))
+        sup_fused = jnp.concatenate(
+            [sup_ext, jnp.repeat(feature_in[:, :-1, None, :], self.num_frames, axis=2)], axis=3
+        )
+        sup_fused = self.layer2(sup_fused)  # [Q, S, T, D]
+        tgt_fused = jnp.concatenate(
+            [target, jnp.repeat(feature_in[:, -1:, :], self.num_frames, axis=1)], axis=2
+        )
+        tgt_fused = self.layer2(tgt_fused)  # [Q, T, D]
+        return sup_fused, tgt_fused
+
+
+def _bi_mhm(sup: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
+    """Set-matching metric (reference :1770-1776): mean-free bidirectional
+    min-pooled distance.  sup [Q, S, T, D], tgt [Q, T, D] -> [Q, S]."""
+    sn = sup / (jnp.linalg.norm(sup, axis=-1, keepdims=True) + 1e-12)
+    tn = tgt / (jnp.linalg.norm(tgt, axis=-1, keepdims=True) + 1e-12)
+    sim = jnp.einsum("qstd,qud->qstu", sn, tn)  # [Q, S, T(s), T(q)]
+    dists = 1.0 - sim
+    return dists.min(axis=3).sum(axis=2) + dists.min(axis=2).sum(axis=2)
+
+
+class CNNHyRSMHead(nn.Module):
+    """CNN_HyRSM_{1,5}shot: five_shot=True averages class prototypes
+    before the relation step (reference :1790-1900)."""
+
+    backbone_name: str
+    way: int
+    num_frames: int
+    five_shot: bool = False
+    num_class: int = 64
+    heads: int = 8
+    position_a: float = 10.0
+    position_b: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.backbone, self.dim = make_backbone(self.backbone_name, self.dtype)
+        self.features = _HyRSMFeatures(
+            dim=self.dim, num_frames=self.num_frames, num_class=self.num_class, heads=self.heads,
+            dtype=self.dtype, position_a=self.position_a, position_b=self.position_b,
+        )
+
+    def __call__(self, episode: Episode, *unused, train: bool = True) -> Dict[str, Any]:
+        det = not train
+        sup = _encode(self.backbone, episode.support_images, self.dim)
+        tgt = _encode(self.backbone, episode.target_images, self.dim)
+        sup = self.features.temporal(sup, det)  # [S, T, D]
+        tgt = self.features.temporal(tgt, det)  # [Q, T, D]
+        class_logits = self.features.classification_layer(jnp.concatenate([sup, tgt], 0)).reshape(-1, self.num_class)
+
+        labels = episode.support_labels
+        if self.five_shot:
+            sup = class_mean(sup, labels, self.way)  # [WAY, T, D]
+        sup_fused, tgt_fused = self.features.relate(sup, tgt, det)
+        cum_dists = _bi_mhm(sup_fused, tgt_fused)  # [Q, S or WAY]
+        if self.five_shot:
+            class_dists = cum_dists
+        else:
+            class_dists = class_mean(cum_dists.T, labels, self.way).T
+        return {"logits": -class_dists, "class_logits": class_logits}
+
+
+def _temporal_regular_masks(t: int, window_size: int, temporal_balance: float):
+    """HyRSM++ temporal-coherence masks (reference :1939-1956):
+    inside the window: weight 1/((i-j)^2+1), label 1;
+    outside: weight 1-exp(-(|i-j|-w)^2/balance), label 0."""
+    reg = np.zeros((t, t), dtype=np.float32)
+    lab = np.zeros((t, t), dtype=np.float32)
+    for i in range(t):
+        for j in range(t):
+            d = abs(i - j)
+            if d <= window_size:
+                reg[i, j] = 1.0 / ((i - j) ** 2 + 1.0)
+                lab[i, j] = 1.0
+            else:
+                reg[i, j] = 1.0 - np.exp(-((d - window_size) ** 2) / temporal_balance)
+    return reg, lab
+
+
+class CNNHyRSMPlusPlusHead(nn.Module):
+    """CNN_HyRSM_plusplus_{1,5}shot (reference :1902-2190): HyRSM plus a
+    temporal-coherence regularization loss over intra-video frame
+    distances."""
+
+    backbone_name: str
+    way: int
+    num_frames: int
+    five_shot: bool = False
+    num_class: int = 64
+    heads: int = 8
+    window_size: int = 3
+    temporal_balance: float = 1.0
+    balance_coefficient: float = 1.0
+    use_classification: bool = True
+    use_pe: bool = True
+    position_a: float = 10.0
+    position_b: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.backbone, self.dim = make_backbone(self.backbone_name, self.dtype)
+        self.features = _HyRSMFeatures(
+            dim=self.dim, num_frames=self.num_frames, num_class=self.num_class, heads=self.heads,
+            dtype=self.dtype, position_a=self.position_a, position_b=self.position_b,
+        )
+
+    def __call__(self, episode: Episode, *unused, train: bool = True) -> Dict[str, Any]:
+        det = not train
+        sup = _encode(self.backbone, episode.support_images, self.dim)
+        tgt = _encode(self.backbone, episode.target_images, self.dim)
+        if self.use_pe:
+            sup = self.features.temporal(sup, det)
+            tgt = self.features.temporal(tgt, det)
+        else:
+            sup = nn.relu(self.features.temporal_atte_before(sup, deterministic=det))
+            tgt = nn.relu(self.features.temporal_atte_before(tgt, deterministic=det))
+        class_logits = None
+        if self.use_classification:
+            class_logits = self.features.classification_layer(jnp.concatenate([sup, tgt], 0)).reshape(-1, self.num_class)
+
+        labels = episode.support_labels
+        if self.five_shot:
+            sup = class_mean(sup, labels, self.way)
+        sup_fused, tgt_fused = self.features.relate(sup, tgt, det)
+        cum_dists = _bi_mhm(sup_fused, tgt_fused)
+        class_dists = cum_dists if self.five_shot else class_mean(cum_dists.T, labels, self.way).T
+
+        # temporal-coherence regularizer over the fused features
+        reg, lab = _temporal_regular_masks(self.num_frames, self.window_size, self.temporal_balance)
+        reg, lab = jnp.asarray(reg), jnp.asarray(lab)
+
+        def intra(feats):  # [..., T, D] -> mean regularized distance
+            fn = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
+            sim = jnp.einsum("...td,...ud->...tu", fn, fn)
+            d = 1.0 - sim
+            return jnp.mean(d * lab * reg + self.balance_coefficient * (1.0 - lab) * nn.relu(reg - d))
+
+        loss_temporal = intra(sup_fused.reshape(-1, self.num_frames, self.dim)) + intra(tgt_fused)
+        return {
+            "logits": -class_dists,
+            "class_logits": class_logits,
+            "loss_temporal_regular": loss_temporal,
+        }
+
+
+def _from_cfg_common(cfg):
+    return dict(
+        backbone_name=cfg.VIDEO.HEAD.BACKBONE_NAME,
+        way=int(cfg.TRAIN.WAY),
+        num_frames=int(cfg.DATA.NUM_INPUT_FRAMES),
+    )
+
+
+@HEAD_REGISTRY.register(name="CNN_TSN")
+def build_tsn(cfg, dtype=jnp.float32, **kw):
+    return CNNTSNHead(**_from_cfg_common(cfg), dtype=dtype)
+
+
+@HEAD_REGISTRY.register(name="CNN_OTAM")
+def build_otam(cfg, dtype=jnp.float32, **kw):
+    return CNNOTAMHead(**_from_cfg_common(cfg), dtype=dtype)
+
+
+@HEAD_REGISTRY.register(name="CNN_TRX")
+def build_trx(cfg, dtype=jnp.float32, **kw):
+    return CNNTRXHead(**_from_cfg_common(cfg), dtype=dtype)
+
+
+@HEAD_REGISTRY.register(name="CNN_CrossTransformer")
+def build_cross_transformer(cfg, dtype=jnp.float32, **kw):
+    return CNNCrossTransformerHead(**_from_cfg_common(cfg), shot=int(cfg.TRAIN.SHOT), dtype=dtype)
+
+
+@HEAD_REGISTRY.register(name="CNN_HyRSM_1shot")
+def build_hyrsm_1shot(cfg, dtype=jnp.float32, **kw):
+    return CNNHyRSMHead(**_from_cfg_common(cfg), five_shot=False, **_hyrsm_kw(cfg), dtype=dtype)
+
+
+@HEAD_REGISTRY.register(name="CNN_HyRSM_5shot")
+def build_hyrsm_5shot(cfg, dtype=jnp.float32, **kw):
+    return CNNHyRSMHead(**_from_cfg_common(cfg), five_shot=True, **_hyrsm_kw(cfg), dtype=dtype)
+
+
+def _hyrsm_kw(cfg):
+    t = cfg.TRAIN
+    return dict(
+        num_class=int(t.get("NUM_CLASS", 64) or 64),
+        heads=int(t.get("HEAD", 8) or 8),
+        position_a=float(t.get("POSITION_A", 10.0) or 10.0),
+        position_b=float(t.get("POSITION_B", 1.0) or 1.0),
+    )
+
+
+def _hyrsm_pp_kw(cfg):
+    t = cfg.TRAIN
+    return dict(
+        **_hyrsm_kw(cfg),
+        window_size=int(t.get("WINDOW_SIZE", 3) or 3),
+        temporal_balance=float(t.get("TEMPORAL_BALANCE", 1.0) or 1.0),
+        balance_coefficient=float(t.get("BALANCE_COEFFICIENT", 1.0) or 1.0),
+        use_classification=bool(t.get("USE_CLASSIFICATION", False)),
+        use_pe=not bool(t.get("NO_POSITION", False)),
+    )
+
+
+@HEAD_REGISTRY.register(name="CNN_HyRSM_plusplus_1shot")
+def build_hyrsm_pp_1shot(cfg, dtype=jnp.float32, **kw):
+    return CNNHyRSMPlusPlusHead(**_from_cfg_common(cfg), five_shot=False, **_hyrsm_pp_kw(cfg), dtype=dtype)
+
+
+@HEAD_REGISTRY.register(name="CNN_HyRSM_plusplus_5shot")
+def build_hyrsm_pp_5shot(cfg, dtype=jnp.float32, **kw):
+    return CNNHyRSMPlusPlusHead(**_from_cfg_common(cfg), five_shot=True, **_hyrsm_pp_kw(cfg), dtype=dtype)

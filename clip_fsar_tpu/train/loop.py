@@ -75,7 +75,8 @@ def evaluate(cfg, model, variables, mesh, num_tasks: int, episodes_per_step: int
         "loss": loss_sum / max(num_steps, 1),
         "episodes": int(num_steps * e),
     }
-    class_names = list(cfg.TEST.CLASS_NAME) if split != "train" else list(cfg.TRAIN.CLASS_NAME)
+    src = cfg.TEST if split != "train" else cfg.TRAIN
+    class_names = list(src.get("CLASS_NAME", []) or [])
     per_class_acc = {
         class_names[k] if k < len(class_names) else str(k): round(v[0] / max(v[1], 1) * 100.0, 2)
         for k, v in sorted(per_class.items())

@@ -43,6 +43,12 @@ def make_train_step(head, tx, cfg, text_train, text_test) -> Callable:
     use_cls = bool(cfg.TRAIN.get("USE_CLASSIFICATION", False))
     cls_value = float(cfg.TRAIN.get("USE_CLASSIFICATION_VALUE", 1.0) or 1.0)
     cls_only = bool(cfg.TRAIN.get("USE_CLASSIFICATION_ONLY", False))
+    use_local = bool(cfg.TRAIN.get("USE_LOCAL", False))
+    temporal_weight = float(cfg.TRAIN.get("TEMPORAL_LOSS_WEIGHT", 0.0) or 0.0)
+    use_contrastive = bool(cfg.TRAIN.get("USE_CONTRASTIVE", False))
+    contrastive_coff = float(cfg.TRAIN.get("USE_CONTRASTIVE_COFF", 1.0) or 1.0)
+    recons_coff = float(cfg.TRAIN.get("RECONS_COFF", 0.0) or 0.0) if cfg.TRAIN.get("USE_RECONS", False) else 0.0
+    num_frames = int(cfg.DATA.NUM_INPUT_FRAMES)
     ema_decay = float(cfg.MODEL.EMA.DECAY) if ("MODEL" in cfg and cfg.MODEL.EMA.get("ENABLE", False)) else None
 
     def episode_loss(params, batch_stats, ep: Episode, rng) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
@@ -55,8 +61,23 @@ def make_train_step(head, tx, cfg, text_train, text_test) -> Callable:
         loss = ep_ce
         if use_cls:
             real = jnp.concatenate([ep.real_support_labels, ep.real_target_labels], axis=0)
+            if use_local:
+                # per-frame classification logits (HyRSM USE_LOCAL path,
+                # train_net_few_shot.py:113-117): repeat labels per frame
+                real = jnp.repeat(real[:, None], num_frames, axis=1).reshape(-1)
             cls_ce = optax.softmax_cross_entropy_with_integer_labels(out["class_logits"], real).mean()
             loss = cls_value * cls_ce if cls_only else ep_ce + cls_value * cls_ce
+        if temporal_weight and out.get("loss_temporal_regular") is not None:
+            loss = loss + temporal_weight * out["loss_temporal_regular"]
+        if use_contrastive:
+            # MoLo global<->local contrastive terms (train_net_few_shot.py:120-131)
+            for key in ("logits_s2q", "logits_q2s", "logits_s2q_motion", "logits_q2s_motion"):
+                if out.get(key) is not None:
+                    loss = loss + contrastive_coff * optax.softmax_cross_entropy_with_integer_labels(
+                        out[key], ep.target_labels
+                    ).mean()
+        if recons_coff and out.get("loss_recons") is not None:
+            loss = loss + recons_coff * out["loss_recons"]
         top1 = (jnp.argmax(logits, -1) == ep.target_labels).mean()
         return loss, {"loss": loss, "ce": ep_ce, "top1": top1}
 

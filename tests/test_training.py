@@ -137,7 +137,11 @@ def test_train_step_updates_params_and_handles_nan():
         "SOLVER": {"OPTIM_METHOD": "adam", "WEIGHT_DECAY": 0.0, "BASE_LR": 1e-3, "MOMENTUM": 0.9, "NESTEROV": False},
         "TRAIN": {"BATCH_SIZE_PER_TASK": 1, "USE_CLASSIFICATION": True, "USE_CLASSIFICATION_VALUE": 1.2},
         "BN": {"WEIGHT_DECAY": 0.0},
-        "DATA": {"MEAN": [0.48145466, 0.4578275, 0.40821073], "STD": [0.26862954, 0.26130258, 0.27577711]},
+        "DATA": {
+            "MEAN": [0.48145466, 0.4578275, 0.40821073],
+            "STD": [0.26862954, 0.26130258, 0.27577711],
+            "NUM_INPUT_FRAMES": T,
+        },
         "MODEL": {"EMA": {"ENABLE": False, "DECAY": 0.999}},
     })
     head = CLIPFSARHead(arch=ARCHS["ViT-Tiny-Test"], head_cfg=CLIPFSARConfig(way=WAY, num_frames=T))
