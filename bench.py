@@ -65,11 +65,12 @@ def main() -> int:
 
     ways, shot, qpc = 5, 1, 5
     n_dev = len(jax.devices())
-    episodes = args.episodes or n_dev
+    # measured on v5e (16 GB): ViT-B/16 train fits at E=2 with remat; E=4 OOMs
+    episodes = args.episodes or (2 * n_dev if not args.quick else n_dev)
     episodes = max(episodes // n_dev, 1) * n_dev
 
     cfg = _cfg(args.backbone, args.frames, args.res, episodes, ways=ways, shot=shot, qpc=qpc)
-    if args.remat:
+    if args.remat or (not args.quick and not args.eval and args.backbone.startswith("ViT")):
         cfg.TPU.REMAT = True
     mesh = build_mesh(cfg)
 

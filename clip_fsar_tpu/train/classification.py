@@ -1,0 +1,207 @@
+"""Classification task: epoch-driven train + multi-view test
+(capability of reference runs/train.py and runs/test.py).
+
+TPU design: batches sharded over the data mesh axis, params replicated,
+one jitted step; mixup/label smoothing applied device-side; multi-view
+test scores re-assembled per video id by the TestMeter.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from clip_fsar_tpu.data.classification import build_classification_loader
+from clip_fsar_tpu.data.mixup import mixup_batch, smooth_one_hot
+from clip_fsar_tpu.data.transforms import normalize_images
+from clip_fsar_tpu.models.video.model import build_video_model
+from clip_fsar_tpu.parallel.mesh import build_mesh, data_sharding, replicate
+from clip_fsar_tpu.train.checkpoint import Checkpointer, auto_resume
+from clip_fsar_tpu.train.optimizer import apply_lr, build_optimizer, get_lr_at_epoch
+from clip_fsar_tpu.train.state import TrainState
+from clip_fsar_tpu.utils.logging import get_logger, log_json_stats, setup_logging
+from clip_fsar_tpu.utils.meters import ScalarMeter, TestMeter
+
+logger = get_logger(__name__)
+
+
+def _dtype(cfg):
+    name = str(cfg.TPU.get("COMPUTE_DTYPE", "bfloat16")) if "TPU" in cfg else "float32"
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+def _build(cfg):
+    model = build_video_model(cfg, dtype=_dtype(cfg))
+    t, res = int(cfg.DATA.NUM_INPUT_FRAMES), int(cfg.DATA.TRAIN_CROP_SIZE)
+    dummy = jnp.zeros((1, t, res, res, 3), jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, dummy, train=False))(jax.random.PRNGKey(int(cfg.get("RANDOM_SEED", 0))))
+    return model, jax.device_get(variables)
+
+
+def make_classification_train_step(model, tx, cfg):
+    mean = tuple(float(x) for x in cfg.DATA.MEAN)
+    std = tuple(float(x) for x in cfg.DATA.STD)
+    num_classes = int(cfg.VIDEO.HEAD.NUM_CLASSES)
+    aug = cfg.AUGMENTATION
+    mix_enabled = bool(aug.MIXUP.get("ENABLE", False)) or bool(aug.CUTMIX.get("ENABLE", False))
+    smoothing = float(aug.get("LABEL_SMOOTHING", 0.0) or 0.0)
+    ema_decay = float(cfg.MODEL.EMA.DECAY) if cfg.MODEL.EMA.get("ENABLE", False) else None
+
+    def loss_fn(params, batch_stats, videos, labels, rng):
+        x = normalize_images(videos, mean, std)
+        if mix_enabled:
+            rng, mix_rng = jax.random.split(rng)
+            x, targets = mixup_batch(
+                mix_rng, x, labels, num_classes,
+                mixup_alpha=float(aug.MIXUP.get("ALPHA", 0.8) or 0.0),
+                cutmix_alpha=float(aug.CUTMIX.get("ALPHA", 0.0) or 0.0),
+                prob=float(aug.MIXUP.get("PROB", 1.0)),
+                switch_prob=float(aug.MIXUP.get("SWITCH_PROB", 0.5)),
+                smoothing=smoothing,
+            )
+        else:
+            targets = smooth_one_hot(labels, num_classes, smoothing)
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        logits, _ = model.apply(variables, x, train=True, rngs={"dropout": rng})
+        loss = optax.softmax_cross_entropy(logits, targets).mean()
+        top1 = (jnp.argmax(logits, -1) == labels).mean()
+        return loss, {"loss": loss, "top1": top1}
+
+    def step(state: TrainState, videos, labels, lr, rng):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, videos, labels, rng
+        )
+        ok = jnp.isfinite(loss)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, apply_lr(updates, lr))
+        keep = lambda n, o: jax.tree_util.tree_map(lambda a, b: jnp.where(ok, a, b), n, o)
+        state = state.replace(step=state.step + 1, params=keep(params, state.params), opt_state=keep(opt_state, state.opt_state))
+        if ema_decay is not None and state.ema_params is not None:
+            state = state.replace(
+                ema_params=jax.tree_util.tree_map(lambda e, p: ema_decay * e + (1 - ema_decay) * p, state.ema_params, state.params)
+            )
+        return state, metrics
+
+    return step
+
+
+def make_classification_eval_step(model, cfg):
+    mean = tuple(float(x) for x in cfg.DATA.MEAN)
+    std = tuple(float(x) for x in cfg.DATA.STD)
+
+    def step(variables, videos):
+        x = normalize_images(videos, mean, std)
+        preds, _ = model.apply(variables, x, train=False)
+        return preds
+
+    return step
+
+
+def train(cfg) -> Dict[str, float]:
+    setup_logging(cfg.get("OUTPUT_DIR", None))
+    mesh = build_mesh(cfg)
+    model, variables = _build(cfg)
+    tx = build_optimizer(cfg, variables["params"])
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        opt_state=tx.init(variables["params"]),
+        batch_stats=variables.get("batch_stats"),
+        ema_params=variables["params"] if cfg.MODEL.EMA.get("ENABLE", False) else None,
+    )
+    ckpt = Checkpointer(cfg.OUTPUT_DIR)
+    resumed = auto_resume(cfg, ckpt, state)
+    start_epoch = 0
+    if resumed is not None:
+        state = resumed
+        start_epoch = int(cfg.TRAIN.get("RESUME_EPOCH", 0))
+    state = replicate(state, mesh)
+    sh = data_sharding(mesh)
+
+    train_step = jax.jit(make_classification_train_step(model, tx, cfg), donate_argnums=0)
+    eval_step = jax.jit(make_classification_eval_step(model, cfg))
+
+    loader = build_classification_loader(cfg, "train")
+    max_epoch = int(cfg.SOLVER.MAX_EPOCH)
+    num_folds = int(cfg.TRAIN.get("NUM_FOLDS", 1))
+    eval_period = int(cfg.TRAIN.get("EVAL_PERIOD", 10))
+    rng = jax.random.PRNGKey(int(cfg.get("RANDOM_SEED", 0)) + 2)
+    loss_meter = ScalarMeter(int(cfg.get("LOG_PERIOD", 10)))
+    best_top1 = 0.0
+
+    for cur_epoch in range(start_epoch, max_epoch, num_folds):
+        loader.set_epoch(cur_epoch)
+        data_size = max(len(loader), 1)
+        for it, (videos, labels, _) in enumerate(loader):
+            lr = get_lr_at_epoch(cfg, cur_epoch + num_folds * it / data_size)
+            rng, step_rng = jax.random.split(rng)
+            videos = jax.device_put(videos, sh)
+            labels = jax.device_put(labels, sh)
+            state, metrics = train_step(state, videos, labels, jnp.float32(lr), step_rng)
+            if (it + 1) % int(cfg.get("LOG_PERIOD", 10)) == 0:
+                m = jax.device_get(metrics)
+                loss_meter.add_value(float(m["loss"]))
+                log_json_stats(
+                    {"_type": "train_iter", "epoch": cur_epoch + 1, "iter": f"{it + 1}/{data_size}",
+                     "loss": round(loss_meter.get_win_median(), 5), "top1": round(float(m["top1"]) * 100, 2), "lr": lr},
+                    logger,
+                )
+        if (cur_epoch + num_folds) % eval_period < num_folds or cur_epoch + num_folds >= max_epoch:
+            stats = _eval_epoch(cfg, model, jax.device_get(state).model_variables, eval_step, mesh)
+            best_top1 = max(best_top1, stats["top1_acc"])
+            ckpt.save(cur_epoch + num_folds, jax.device_get(state))
+    ckpt.save(max_epoch, jax.device_get(state))
+    ckpt.close()
+    return {"best_top1": best_top1}
+
+
+def _eval_epoch(cfg, model, variables, eval_step, mesh) -> Dict[str, float]:
+    sh = data_sharding(mesh)
+    variables = replicate(variables, mesh)
+    loader = build_classification_loader(cfg, "test")
+    correct = total = 0
+    for videos, labels, clip_ids in loader:
+        preds = np.asarray(jax.device_get(eval_step(variables, jax.device_put(videos, sh))))
+        valid = clip_ids >= 0
+        correct += int((preds.argmax(-1)[valid] == labels[valid]).sum())
+        total += int(valid.sum())
+    stats = {"top1_acc": correct / max(total, 1) * 100.0}
+    log_json_stats({"_type": "val_epoch", **stats, "samples": total}, logger)
+    return stats
+
+
+def test(cfg) -> Dict[str, float]:
+    """Multi-view ensemble test (reference runs/test.py + TestMeter)."""
+    setup_logging(cfg.get("OUTPUT_DIR", None))
+    mesh = build_mesh(cfg)
+    model, variables = _build(cfg)
+    tx = build_optimizer(cfg, variables["params"])
+    template = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"], opt_state=tx.init(variables["params"]), batch_stats=variables.get("batch_stats"))
+    ckpt = Checkpointer(cfg.OUTPUT_DIR)
+    restored = ckpt.restore(template) if ckpt.latest_step() is not None else None
+    if restored is not None:
+        variables = restored.model_variables
+        logger.info("testing with checkpoint at step %d", int(restored.step))
+    ckpt.close()
+
+    eval_step = jax.jit(make_classification_eval_step(model, cfg))
+    loader = build_classification_loader(cfg, "test")
+    num_clips = loader.ds._num_clips
+    meter = TestMeter(
+        num_videos=len(loader.ds.samples), num_clips=num_clips, num_cls=int(cfg.VIDEO.HEAD.NUM_CLASSES),
+        ensemble_method=str(cfg.DATA.get("ENSEMBLE_METHOD", "sum")),
+    )
+    sh = data_sharding(mesh)
+    variables = replicate(variables, mesh)
+    for videos, labels, clip_ids in loader:
+        preds = np.asarray(jax.device_get(eval_step(variables, jax.device_put(videos, sh))))
+        valid = clip_ids >= 0
+        meter.update_stats(preds[valid], labels[valid], clip_ids[valid])
+    return meter.finalize_metrics()
