@@ -68,6 +68,75 @@ class SlowFastHead(nn.Module):
         return logits, feats
 
 
+class _MoSIHeadBase(nn.Module):
+    """GAP + dropout + per-axis linear heads (reference
+    module_zoo/heads/mosi_head.py).  num classes per axis =
+    (NUM_CLASSES - 1) + 1*(not ZERO_OUT)."""
+
+    cfg: Any
+    axes: tuple = ("move_joint",)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        h = self.cfg.VIDEO.HEAD
+        if self.axes == ("move_joint",):
+            from clip_fsar_tpu.data.mosi import build_speed_set
+
+            n = len(build_speed_set(
+                int(h.NUM_CLASSES), bool(self.cfg.PRETRAIN.get("DECOUPLE", True)),
+                str(self.cfg.PRETRAIN.get("DATA_MODE", "xy")), bool(self.cfg.PRETRAIN.get("ZERO_OUT", False)),
+            ))
+        else:
+            n = int(h.NUM_CLASSES) - 1 + int(not bool(self.cfg.PRETRAIN.get("ZERO_OUT", False)))
+        feats = x.mean(axis=(1, 2, 3)) if x.ndim == 5 else x
+        feats = nn.Dropout(float(h.get("DROPOUT_RATE", 0) or 0), deterministic=not train)(feats)
+        out = {}
+        for axis in self.axes:
+            out[axis] = nn.Dense(n, dtype=jnp.float32, param_dtype=jnp.float32, name=f"out_{axis}")(feats.astype(jnp.float32))
+        return out, feats
+
+
+@HEAD_REGISTRY.register(name="MoSIHeadJoint")
+class MoSIHeadJoint(_MoSIHeadBase):
+    axes: tuple = ("move_joint",)
+
+
+@HEAD_REGISTRY.register(name="MoSIHeadOnlyX")
+class MoSIHeadOnlyX(_MoSIHeadBase):
+    axes: tuple = ("move_x",)
+
+
+@HEAD_REGISTRY.register(name="MoSIHeadOnlyY")
+class MoSIHeadOnlyY(_MoSIHeadBase):
+    axes: tuple = ("move_y",)
+
+
+@HEAD_REGISTRY.register(name="MoSIHeadXY")
+class MoSIHeadXY(_MoSIHeadBase):
+    axes: tuple = ("move_x", "move_y")
+
+
+@MODEL_REGISTRY.register(name="MoSINet")
+class MoSINet(nn.Module):
+    """BaseVideoModel over flattened pseudo-motion clips
+    (reference models.py:69-88): input [B, S, T, H, W, C] -> predictions
+    over B*S clips."""
+
+    cfg: Any
+    train_bn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        b, s = x.shape[:2]
+        x = x.reshape((b * s,) + x.shape[2:])
+        res, logits = BaseVideoModel(cfg=self.cfg, train_bn=self.train_bn, dtype=self.dtype, name="net")(x, train=train)
+        if not isinstance(res, dict):
+            res = {"move_joint": res}
+        return res, logits
+
+
 @MODEL_REGISTRY.register(name="BaseVideoModel")
 class BaseVideoModel(nn.Module):
     """backbone ∘ head over NDHWC video (reference models.py:26-45)."""

@@ -49,9 +49,13 @@ def _run_list(cfg) -> List[str]:
         if cfg.TEST.get("ENABLE", False):
             runs.append("test")
     elif task == "localization":
+        if cfg.TRAIN.get("ENABLE", False):
+            runs.append("train_localization")
         runs.append("test_epic_localization")
     elif task == "submission":
         runs.append("submission_test")
+    elif task == "pretrain":
+        runs.append("train")
     else:
         raise ValueError(f"Unknown TASK_TYPE {task!r}")
     return runs
@@ -78,6 +82,18 @@ def main(argv: Optional[List[str]] = None) -> int:
             from clip_fsar_tpu.train import classification
 
             getattr(classification, run_name)(cfg)
+        elif run_name == "train_localization":
+            from clip_fsar_tpu.train.localization import train_localization
+
+            train_localization(cfg)
+        elif run_name == "test_epic_localization":
+            from clip_fsar_tpu.train.localization import test_epic_localization
+
+            test_epic_localization(cfg)
+        elif run_name == "submission_test":
+            from clip_fsar_tpu.train.localization import submission_test
+
+            submission_test(cfg)
         else:
             raise NotImplementedError(f"runner {run_name!r} not yet implemented")
     return 0
