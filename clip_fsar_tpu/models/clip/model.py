@@ -158,13 +158,19 @@ class Transformer(nn.Module):
     causal: bool = False
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    remat_policy: str = "nothing"  # nothing | dots (save matmul outputs)
     attention_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         block_cls = ResidualAttentionBlock
         if self.remat:
-            block_cls = nn.remat(ResidualAttentionBlock, policy=jax.checkpoint_policies.nothing_saveable)
+            policy = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                if self.remat_policy == "dots"
+                else jax.checkpoint_policies.nothing_saveable
+            )
+            block_cls = nn.remat(ResidualAttentionBlock, policy=policy)
         for i in range(self.layers):
             x = block_cls(
                 self.width,
@@ -193,6 +199,7 @@ class VisionTransformer(nn.Module):
     output_dim: int
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    remat_policy: str = "nothing"
     attention_backend: str = "xla"
 
     @nn.compact
@@ -221,6 +228,7 @@ class VisionTransformer(nn.Module):
             self.heads,
             dtype=self.dtype,
             remat=self.remat,
+            remat_policy=self.remat_policy,
             attention_backend=self.attention_backend,
             name="transformer",
         )(x)
@@ -412,6 +420,7 @@ class CLIP(nn.Module):
     dtype: jnp.dtype = jnp.float32
     train_backbone: bool = False  # BatchNorm mode for ModifiedResNet
     remat: bool = False
+    remat_policy: str = "nothing"
     attention_backend: str = "xla"
 
     def setup(self):
@@ -426,6 +435,7 @@ class CLIP(nn.Module):
                 output_dim=a.embed_dim,
                 dtype=self.dtype,
                 remat=self.remat,
+                remat_policy=self.remat_policy,
                 attention_backend=self.attention_backend,
             )
         else:

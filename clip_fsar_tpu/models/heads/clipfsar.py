@@ -71,6 +71,7 @@ class CLIPFSARHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
     train_backbone_bn: bool = False  # BatchNorm batch-stats mode (RN towers)
     remat: bool = False
+    remat_policy: str = "nothing"
     attention_backend: str = "xla"
 
     def setup(self):
@@ -85,6 +86,7 @@ class CLIPFSARHead(nn.Module):
                 output_dim=a.embed_dim,
                 dtype=self.dtype,
                 remat=self.remat,
+                remat_policy=self.remat_policy,
                 attention_backend=self.attention_backend,
             )
         else:
