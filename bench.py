@@ -75,7 +75,7 @@ def main() -> int:
     mesh = build_mesh(cfg)
 
     model = build_few_shot_model(cfg, jax.random.PRNGKey(0))
-    tx = build_optimizer(cfg, model.variables["params"])
+    tx = build_optimizer(cfg, model.variables["params"], name_prefix="head")
     state = replicate(build_state(cfg, model, tx), mesh)
 
     rng = np.random.RandomState(0)

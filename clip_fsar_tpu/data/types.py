@@ -38,6 +38,9 @@ class Episode:
     target_labels: jnp.ndarray
     real_target_labels: jnp.ndarray
     batch_class_list: Optional[jnp.ndarray] = None
+    # optional unlabeled clips for semi-supervised episodes (the reference
+    # head reads inputs["target_set_weakly"], few_shot.py:2348-2352)
+    unlabeled_images: Optional[jnp.ndarray] = None  # [U, T, H, W, 3]
 
     @property
     def way(self) -> int:

@@ -201,10 +201,14 @@ def _assemble_classic_head(cfg, head, rng, text_train, text_test, clip_vars=None
 def _build_clipfsar_head(cfg, arch=None, dtype=jnp.float32, remat=False, remat_policy="nothing", attention_backend="xla", **kw):
     if arch is None:
         arch = ARCHS[cfg.VIDEO.HEAD.BACKBONE_NAME]
+    # reference trains the whole model (model.train()), so RN BatchNorm runs
+    # on batch statistics unless BN.FREEZE (base.yaml default: false)
+    bn_freeze = bool(cfg.BN.get("FREEZE", False)) if "BN" in cfg else False
     return CLIPFSARHead(
         arch=arch,
         head_cfg=CLIPFSARConfig.from_cfg(cfg),
         dtype=dtype,
+        train_backbone_bn=not bn_freeze,
         remat=remat,
         remat_policy=remat_policy,
         attention_backend=attention_backend,

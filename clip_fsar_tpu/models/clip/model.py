@@ -241,16 +241,19 @@ class VisionTransformer(nn.Module):
 
 
 class BatchNorm(nn.Module):
-    """BatchNorm in fp32 (activations cast in/out)."""
+    """BatchNorm in fp32 (activations cast in/out).  The attribute sets the
+    default mode; the call-time argument overrides it (train/eval share one
+    module instance, so BN mode must be decidable per call)."""
 
     use_running_average: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, use_running_average: Optional[bool] = None) -> jnp.ndarray:
+        ura = self.use_running_average if use_running_average is None else use_running_average
         orig = x.dtype
         y = nn.BatchNorm(
-            use_running_average=self.use_running_average,
-            momentum=0.9,
+            use_running_average=ura,
+            momentum=0.9,  # torch momentum=0.1: new = 0.9*old + 0.1*batch
             epsilon=1e-5,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
@@ -272,11 +275,12 @@ class Bottleneck(nn.Module):
     EXPANSION = 4
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: Optional[bool] = None) -> jnp.ndarray:
+        bn_train = self.train if train is None else train
         conv = lambda f, k, name: nn.Conv(
             f, (k, k), padding=[(k // 2, k // 2)] * 2, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name=name
         )
-        bn = lambda name: BatchNorm(use_running_average=not self.train, name=name)
+        bn = lambda name: BatchNorm(use_running_average=not bn_train, name=name)
 
         out = nn.relu(bn("bn1")(conv(self.planes, 1, "conv1")(x)))
         out = nn.relu(bn("bn2")(conv(self.planes, 3, "conv2")(out)))
@@ -339,12 +343,13 @@ class ModifiedResNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, return_tokens: bool = False):
+    def __call__(self, x: jnp.ndarray, return_tokens: bool = False, train: Optional[bool] = None):
+        bn_train = self.train if train is None else train
         x = x.astype(self.dtype)
         conv = lambda f, s, name: nn.Conv(
             f, (3, 3), strides=(s, s), padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name=name
         )
-        bn = lambda name: BatchNorm(use_running_average=not self.train, name=name)
+        bn = lambda name: BatchNorm(use_running_average=not bn_train, name=name)
         x = nn.relu(bn("bn1")(conv(self.width // 2, 2, "conv1")(x)))
         x = nn.relu(bn("bn2")(conv(self.width // 2, 1, "conv2")(x)))
         x = nn.relu(bn("bn3")(conv(self.width, 1, "conv3")(x)))
@@ -362,7 +367,7 @@ class ModifiedResNet(nn.Module):
                     train=self.train,
                     dtype=self.dtype,
                     name=f"layer{stage}_{i}",
-                )(x)
+                )(x, train=bn_train)
                 inplanes = planes * Bottleneck.EXPANSION
 
         return AttentionPool2d(

@@ -61,6 +61,9 @@ class CLIPFSARConfig:
             combine=bool(t.get("COMBINE", False)),
             eval_text=bool(t.get("EVAL_TEXT", False)),
             single_direct=bool(t.get("SINGLE_DIRECT", False)),
+            # the reference gate is `hasattr(...) and cfg.TRAIN.TEXT_COFF`
+            # (few_shot.py:2926) — an explicit 0.0 falls back to 0.9 there
+            # too, so `or None` is exact truthiness parity, not a bug
             text_coff=t.get("TEXT_COFF", None) or None,
         )
 
@@ -110,11 +113,19 @@ class CLIPFSARHead(nn.Module):
         )
         self.scale = self.param("scale", nn.initializers.ones, (1,), jnp.float32)
 
-    def encode_frames(self, images: jnp.ndarray) -> jnp.ndarray:
-        """[N, T, H, W, 3] -> [N, T, D] through the CLIP visual tower."""
+    def encode_frames(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """[N, T, H, W, 3] -> [N, T, D] through the CLIP visual tower.
+
+        For the RN towers, train mode runs BatchNorm on batch statistics
+        (the reference trains the whole model, so RN50 BN sees per-episode
+        batch stats — few_shot.py:2744-2770 under model.train()); gate with
+        ``train_backbone_bn`` (wired from BN.FREEZE)."""
         n, t = images.shape[:2]
         flat = images.reshape((n * t,) + images.shape[2:])
-        feats = self.backbone(flat)
+        if self.arch.is_vit:
+            feats = self.backbone(flat)
+        else:
+            feats = self.backbone(flat, train=train and self.train_backbone_bn)
         return feats.reshape(n, t, -1)
 
     def __call__(
@@ -123,8 +134,14 @@ class CLIPFSARHead(nn.Module):
         text_train: jnp.ndarray,
         text_test: Optional[jnp.ndarray] = None,
         train: bool = True,
+        deterministic: Optional[bool] = None,
     ) -> Dict[str, Any]:
-        """Returns {"logits": [Q, WAY], "class_logits": [S+Q, C_train] | None}."""
+        """Returns {"logits": [Q, WAY], "class_logits": [S+Q, C_train] | None}.
+
+        ``deterministic`` overrides dropout behavior independently of the
+        train/eval branch selection (used by the reference-parity tests to
+        drive the train code path without stochastic dropout).
+        """
         hc = self.head_cfg
         way, t = hc.way, hc.num_frames
         if episode.support_images.shape[0] % way:
@@ -136,13 +153,14 @@ class CLIPFSARHead(nn.Module):
             raise ValueError(
                 f"episode has {episode.support_images.shape[1]} frames, head expects NUM_INPUT_FRAMES={t}"
             )
-        deterministic = not train
+        if deterministic is None:
+            deterministic = not train
         text_eval = text_test if text_test is not None else text_train
 
         # --- CLIP visual features (support and target separately: parity
         # with reference get_feats, incl. BN batch statistics) ---
-        support_features = self.encode_frames(episode.support_images).astype(jnp.float32)
-        target_features = self.encode_frames(episode.target_images).astype(jnp.float32)
+        support_features = self.encode_frames(episode.support_images, train=train).astype(jnp.float32)
+        target_features = self.encode_frames(episode.target_images, train=train).astype(jnp.float32)
         scale = self.scale.astype(jnp.float32)
 
         if not train and hc.eval_text:
@@ -166,6 +184,9 @@ class CLIPFSARHead(nn.Module):
         bank = text_train if train else text_eval
         context_support = bank[episode.real_support_labels][:, None, :].astype(jnp.float32)
 
+        # COMBINE's text-matching term uses the *raw* (pre-modulation) target
+        # features (reference few_shot.py:2894-2900 runs before context2)
+        raw_target_mean = target_features.mean(axis=1)
         target_features = self.context2(target_features, target_features, target_features, deterministic=deterministic)
 
         support_labels = episode.support_labels
@@ -192,7 +213,7 @@ class CLIPFSARHead(nn.Module):
             # reference's hardcoded constant, not NUM_INPUT_FRAMES
             text_feats = text_eval[episode.real_support_labels]
             text_feats = class_mean(text_feats, episode.support_labels, way)
-            image_features = target_features.mean(axis=1)
+            image_features = raw_target_mean
             image_features = image_features / jnp.linalg.norm(image_features, axis=1, keepdims=True)
             text_feats = text_feats / jnp.linalg.norm(text_feats, axis=1, keepdims=True)
             logits_per_image = nn.softmax(scale * image_features @ text_feats.T, axis=1)

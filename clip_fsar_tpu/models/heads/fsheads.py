@@ -19,6 +19,7 @@ import itertools
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -423,6 +424,103 @@ class CNNHyRSMPlusPlusHead(nn.Module):
         }
 
 
+class CNNHyRSMPlusPlusSemiHead(nn.Module):
+    """CNN_HyRSM_plusplus_semi (reference few_shot.py:2193-2390):
+    prototype-relate HyRSM++ with optional semi-supervised support
+    extension from unlabeled clips.
+
+    TPU redesign of the dynamic pseudo-label branch: the reference appends
+    the confidently pseudo-labeled unlabeled clips to the support list and
+    recomputes class means (dynamic shapes, :2313-2324); here the same
+    result is a *weighted* class mean — each unlabeled clip contributes to
+    prototype c with weight mask_u * onehot(pseudo_u)_c — which is exactly
+    the mean over the concatenated set, with static shapes.  Gradients stop
+    at the pseudo-label logits (the reference detaches class_dists,
+    :2316), while accepted unlabeled features keep gradients (as in the
+    reference concat)."""
+
+    backbone_name: str
+    way: int
+    num_frames: int
+    num_class: int = 64
+    heads: int = 8
+    window_size: int = 3
+    temporal_balance: float = 1.0
+    balance_coefficient: float = 1.0
+    semi_temporal: float = 1.0  # TRAIN.SEMI_TEMPORAL softmax temperature
+    semi_threshold: float = 0.8  # TRAIN.SEMI_THRESHOLD confidence gate
+    use_classification: bool = True
+    use_pe: bool = True
+    position_a: float = 10.0
+    position_b: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.backbone, self.dim = make_backbone(self.backbone_name, self.dtype)
+        self.features = _HyRSMFeatures(
+            dim=self.dim, num_frames=self.num_frames, num_class=self.num_class, heads=self.heads,
+            dtype=self.dtype, position_a=self.position_a, position_b=self.position_b,
+        )
+
+    def __call__(self, episode: Episode, *unused, train: bool = True) -> Dict[str, Any]:
+        det = not train
+        sup = _encode(self.backbone, episode.support_images, self.dim)
+        tgt = _encode(self.backbone, episode.target_images, self.dim)
+        if self.use_pe:
+            sup = self.features.temporal(sup, det)
+            tgt = self.features.temporal(tgt, det)
+        else:
+            sup = nn.relu(self.features.temporal_atte_before(sup, deterministic=det))
+            tgt = nn.relu(self.features.temporal_atte_before(tgt, deterministic=det))
+        class_logits = None
+        if self.use_classification:
+            class_logits = self.features.classification_layer(jnp.concatenate([sup, tgt], 0)).reshape(-1, self.num_class)
+
+        labels = episode.support_labels
+        way = self.way
+        onehot_s = jnp.asarray(labels[:, None] == jnp.arange(way)[None, :], jnp.float32)  # [S, WAY]
+        counts = onehot_s.sum(0)  # [WAY]
+        proto_sum = jnp.einsum("sc,std->ctd", onehot_s, sup)  # [WAY, T, D]
+
+        if episode.unlabeled_images is not None:
+            unl = _encode(self.backbone, episode.unlabeled_images, self.dim)
+            if self.use_pe:
+                unl = self.features.temporal(unl, det)
+            else:
+                unl = nn.relu(self.features.temporal_atte_before(unl, deterministic=det))
+            # pseudo-labeling: Bi-MHM distance of each unlabeled clip to the
+            # current class prototypes (reference :2290-2316)
+            protos = proto_sum / counts[:, None, None]
+            sup_fused_u, unl_fused = self.features.relate(protos, unl, det)
+            pseudo_logits = jax.lax.stop_gradient(-_bi_mhm(sup_fused_u, unl_fused))  # [U, WAY]
+            pseudo = nn.softmax(pseudo_logits / self.semi_temporal, axis=-1)
+            conf = pseudo.max(-1)
+            mask = (conf >= self.semi_threshold).astype(jnp.float32)  # [U]
+            onehot_u = nn.one_hot(jnp.argmax(pseudo, -1), way) * mask[:, None]  # [U, WAY]
+            counts = counts + onehot_u.sum(0)
+            proto_sum = proto_sum + jnp.einsum("uc,utd->ctd", onehot_u, unl)
+
+        protos = proto_sum / counts[:, None, None]  # [WAY, T, D]
+        sup_fused, tgt_fused = self.features.relate(protos, tgt, det)
+        class_dists = _bi_mhm(sup_fused, tgt_fused)  # [Q, WAY] (prototype columns)
+
+        reg, lab = _temporal_regular_masks(self.num_frames, self.window_size, self.temporal_balance)
+        reg, lab = jnp.asarray(reg), jnp.asarray(lab)
+
+        def intra(feats):
+            fn = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
+            sim = jnp.einsum("...td,...ud->...tu", fn, fn)
+            d = 1.0 - sim
+            return jnp.mean(d * lab * reg + self.balance_coefficient * (1.0 - lab) * nn.relu(reg - d))
+
+        loss_temporal = intra(sup_fused.reshape(-1, self.num_frames, self.dim)) + intra(tgt_fused)
+        return {
+            "logits": -class_dists,
+            "class_logits": class_logits,
+            "loss_temporal_regular": loss_temporal,
+        }
+
+
 def _from_cfg_common(cfg):
     return dict(
         backbone_name=cfg.VIDEO.HEAD.BACKBONE_NAME,
@@ -462,21 +560,28 @@ def build_hyrsm_5shot(cfg, dtype=jnp.float32, **kw):
 
 
 def _hyrsm_kw(cfg):
+    """Each key follows its reference gate exactly: POSITION_A/B are
+    hasattr-gated (explicit 0.0 is honored, few_shot.py:1705-1706);
+    TRAIN.HEAD is truthiness-gated (0 falls back, :1709); NUM_CLASS is
+    hasattr-gated with no default (:1718)."""
     t = cfg.TRAIN
     return dict(
-        num_class=int(t.get("NUM_CLASS", 64) or 64),
+        num_class=int(t.get("NUM_CLASS", 64)),
         heads=int(t.get("HEAD", 8) or 8),
-        position_a=float(t.get("POSITION_A", 10.0) or 10.0),
-        position_b=float(t.get("POSITION_B", 1.0) or 1.0),
+        position_a=float(t.get("POSITION_A", 10.0)),
+        position_b=float(t.get("POSITION_B", 1.0)),
     )
 
 
 def _hyrsm_pp_kw(cfg):
+    """WINDOW_SIZE/TEMPORAL_BALANCE are read unconditionally by the
+    reference (explicit 0 honored, few_shot.py:1943-1946);
+    BALANCE_COEFFICIENT is truthiness-gated (:2024)."""
     t = cfg.TRAIN
     return dict(
         **_hyrsm_kw(cfg),
-        window_size=int(t.get("WINDOW_SIZE", 3) or 3),
-        temporal_balance=float(t.get("TEMPORAL_BALANCE", 1.0) or 1.0),
+        window_size=int(t.get("WINDOW_SIZE", 3)),
+        temporal_balance=float(t.get("TEMPORAL_BALANCE", 1.0)),
         balance_coefficient=float(t.get("BALANCE_COEFFICIENT", 1.0) or 1.0),
         use_classification=bool(t.get("USE_CLASSIFICATION", False)),
         use_pe=not bool(t.get("NO_POSITION", False)),
@@ -491,3 +596,15 @@ def build_hyrsm_pp_1shot(cfg, dtype=jnp.float32, **kw):
 @HEAD_REGISTRY.register(name="CNN_HyRSM_plusplus_5shot")
 def build_hyrsm_pp_5shot(cfg, dtype=jnp.float32, **kw):
     return CNNHyRSMPlusPlusHead(**_from_cfg_common(cfg), five_shot=True, **_hyrsm_pp_kw(cfg), dtype=dtype)
+
+
+@HEAD_REGISTRY.register(name="CNN_HyRSM_plusplus_semi")
+def build_hyrsm_pp_semi(cfg, dtype=jnp.float32, **kw):
+    t = cfg.TRAIN
+    return CNNHyRSMPlusPlusSemiHead(
+        **_from_cfg_common(cfg),
+        **_hyrsm_pp_kw(cfg),
+        semi_temporal=float(t.get("SEMI_TEMPORAL", 1.0) or 1.0),
+        semi_threshold=float(t.get("SEMI_THRESHOLD", 0.8) or 0.8),
+        dtype=dtype,
+    )

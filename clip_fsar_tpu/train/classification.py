@@ -122,6 +122,16 @@ def train(cfg) -> Dict[str, float]:
     if resumed is not None:
         state = resumed
         start_epoch = int(cfg.TRAIN.get("RESUME_EPOCH", 0))
+    else:
+        # finetune/continue from a config-pointed checkpoint, with optional
+        # 2D->3D inflation + pos-embed surgery (reference checkpoint.py:547-576)
+        from clip_fsar_tpu.train.pretrain import load_train_checkpoint_file
+
+        loaded_vars, ok = load_train_checkpoint_file(cfg, variables)
+        if ok:
+            state = state.replace(params=loaded_vars["params"], batch_stats=loaded_vars.get("batch_stats"))
+            if state.ema_params is not None:
+                state = state.replace(ema_params=loaded_vars["params"])
     state = replicate(state, mesh)
     sh = data_sharding(mesh)
 
@@ -185,10 +195,9 @@ def test(cfg) -> Dict[str, float]:
     tx = build_optimizer(cfg, variables["params"])
     template = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"], opt_state=tx.init(variables["params"]), batch_stats=variables.get("batch_stats"))
     ckpt = Checkpointer(cfg.OUTPUT_DIR)
-    restored = ckpt.restore(template) if ckpt.latest_step() is not None else None
-    if restored is not None:
-        variables = restored.model_variables
-        logger.info("testing with checkpoint at step %d", int(restored.step))
+    from clip_fsar_tpu.train.pretrain import load_test_variables
+
+    variables = load_test_variables(cfg, ckpt, template, variables)
     ckpt.close()
 
     eval_step = jax.jit(make_classification_eval_step(model, cfg))

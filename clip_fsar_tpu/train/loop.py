@@ -52,6 +52,7 @@ def evaluate(cfg, model, variables, mesh, num_tasks: int, episodes_per_step: int
     per-class top-1 (reference test_net_few_shot.py:35-224)."""
     eval_step = jax.jit(make_eval_step(model.head, cfg, model.text_train, model.text_test))
     e = episodes_per_step or int(cfg.TPU.get("EPISODES_PER_STEP", 1))
+    e = max(e // mesh.devices.size, 1) * mesh.devices.size  # round to mesh-divisible
     check_batch_divisible(e, mesh)
     num_steps = max(num_tasks // e, 1)
     variables = replicate(variables, mesh)
@@ -90,12 +91,20 @@ def train_few_shot(cfg) -> Dict[str, float]:
     setup_logging(cfg.get("OUTPUT_DIR", None))
     mesh = build_mesh(cfg)
     e = int(cfg.TPU.get("EPISODES_PER_STEP", 1))
+    n_dev = mesh.devices.size
+    if e % n_dev:
+        rounded = max(e // n_dev, 1) * n_dev
+        logger.info(
+            "TPU.EPISODES_PER_STEP=%d is not divisible by the %d-device data "
+            "mesh — rounding up to %d episodes/step", e, n_dev, rounded,
+        )
+        e = rounded
     check_batch_divisible(e, mesh)
     logger.info("mesh: %s devices on axis 'data'; %d episodes/step", mesh.devices.size, e)
 
     rng = jax.random.PRNGKey(int(cfg.get("RANDOM_SEED", 0)))
     model = build_few_shot_model(cfg, rng)
-    tx = build_optimizer(cfg, model.variables["params"])
+    tx = build_optimizer(cfg, model.variables["params"], name_prefix="head")
     state = build_state(cfg, model, tx)
 
     ckpt = Checkpointer(cfg.OUTPUT_DIR)
@@ -106,6 +115,14 @@ def train_few_shot(cfg) -> Dict[str, float]:
         # optimizer steps -> loader iterations (MultiSteps counts micro-steps)
         start_iter = int(state.step)
         logger.info("auto-resumed at iteration %d", start_iter)
+    else:
+        from clip_fsar_tpu.train.pretrain import load_train_checkpoint_file
+
+        loaded_vars, ok = load_train_checkpoint_file(cfg, model.variables)
+        if ok:
+            state = state.replace(params=loaded_vars["params"], batch_stats=loaded_vars.get("batch_stats"))
+            if state.ema_params is not None:
+                state = state.replace(ema_params=loaded_vars["params"])
     state = replicate(state, mesh)
 
     train_step = jax.jit(make_train_step(model.head, tx, cfg, model.text_train, model.text_test), donate_argnums=0)
@@ -169,16 +186,12 @@ def test_few_shot(cfg) -> Dict[str, float]:
 
     # test-time checkpoint search (reference checkpoint.py:452-529):
     # TEST path -> latest train checkpoint -> TRAIN path -> fresh weights
-    variables = model.variables
+    from clip_fsar_tpu.train.pretrain import load_test_variables
+
     ckpt = Checkpointer(cfg.OUTPUT_DIR)
-    tx = build_optimizer(cfg, model.variables["params"])
+    tx = build_optimizer(cfg, model.variables["params"], name_prefix="head")
     template = build_state(cfg, model, tx)
-    restored = ckpt.restore(template) if ckpt.latest_step() is not None else None
-    if restored is not None:
-        variables = restored.model_variables
-        logger.info("testing with checkpoint at step %d", int(restored.step))
-    else:
-        logger.info("no checkpoint found — testing with freshly built weights")
+    variables = load_test_variables(cfg, ckpt, template, model.variables)
     ckpt.close()
 
     num_tasks = int(cfg.TRAIN.get("NUM_TEST_TASKS", 10000))

@@ -81,23 +81,75 @@ def epoch_for_iter(cfg, cur_iter: int, data_size: int) -> float:
 # ---------------------------------------------------------------------------
 
 
-def _path_str(path) -> str:
-    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path).lower()
+def _path_parts(path, name_prefix: str = "") -> list:
+    parts = [str(getattr(k, "key", getattr(k, "idx", k))).lower() for k in path]
+    if name_prefix:
+        parts = list(name_prefix.lower().split("/")) + parts
+    return parts
 
 
-def make_decay_mask(params, bn_keywords=("bn", "batchnorm", "norm")) -> Any:
-    """True -> gets SOLVER.WEIGHT_DECAY; False -> BN group (no decay)."""
+def _reference_name_parts(parts: list) -> list:
+    """Drop flax-internal norm-wrapper segments whose parent is a CLIP
+    ``ln_*`` module: the reference's torch names for those params are
+    ``ln_1.weight`` etc. — they contain neither "bn" nor "norm", so CLIP
+    LayerNorms DO receive weight decay (reference optimizer.py:58-70).
+    Everywhere else our authored module names mirror the torch names
+    ("bn1", "norm_0", ...), so the wrapper segment is redundant anyway."""
+    out = []
+    for i, p in enumerate(parts):
+        if p.startswith(("layernorm_", "batchnorm_", "groupnorm_")) and i > 0 and parts[i - 1].startswith("ln"):
+            continue
+        out.append(p)
+    return out
 
-    def is_decayed(path, _):
-        p = _path_str(path)
-        parts = p.split("/")
-        for part in parts:
-            for kw in bn_keywords:
-                if part.startswith(kw) or part.startswith("layernorm") or part.startswith("groupnorm"):
-                    return False
-        return True
 
-    return jax.tree_util.tree_map_with_path(is_decayed, params)
+def classify_param(parts: list) -> str:
+    """Reference param grouping (models/utils/optimizer.py:58-70), same
+    elif order, substring matching on reference-equivalent names:
+      'no_decay' — "embd"/"cls_token" (wd 0)
+      'bn'       — "bn"/"norm" (wd BN.WEIGHT_DECAY, lr_reduce group)
+      'head'     — "head" (full wd, never lr-reduced)
+      'rest'     — everything else (full wd, lr_reduce group)
+    """
+    name = ".".join(_reference_name_parts(parts))
+    if "embd" in name or "cls_token" in name:
+        return "no_decay"
+    if "bn" in name or "norm" in name:
+        return "bn"
+    if "head" in name:
+        return "head"
+    return "rest"
+
+
+def param_groups(params, name_prefix: str = "") -> Any:
+    """Tree of group labels; ``name_prefix`` positions the tree inside the
+    reference's model namespace (few-shot heads live under ``head.``)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: classify_param(_path_parts(path, name_prefix)), params
+    )
+
+
+def make_decay_mask(params, name_prefix: str = "") -> Any:
+    """True -> gets SOLVER.WEIGHT_DECAY; False -> BN/no-decay groups."""
+    return jax.tree_util.tree_map(lambda g: g in ("rest", "head"), param_groups(params, name_prefix))
+
+
+def make_fixed_mask(params, cfg, name_prefix: str = "") -> Any:
+    """True -> parameter is frozen.  Mirrors reference optimizer.py:50-57
+    (TRAIN.FIXED_WEIGHTS matches the 2nd/3rd component of the torch name,
+    i.e. our first two path segments) plus TRAIN.ONLY_LINEAR (head-only)."""
+    fixed = set(cfg.TRAIN.get("FIXED_WEIGHTS", []) or []) if "TRAIN" in cfg else set()
+    only_linear = bool(cfg.TRAIN.get("ONLY_LINEAR", False)) if "TRAIN" in cfg else False
+
+    def is_fixed(path, _):
+        parts = _path_parts(path, name_prefix)
+        if any(p in fixed for p in parts[:2]):
+            return True
+        if only_linear and "head" not in ".".join(_reference_name_parts(parts)):
+            return True
+        return False
+
+    return jax.tree_util.tree_map_with_path(is_fixed, params)
 
 
 def scale_by_lars(momentum: float = 0.9, trust_coefficient: float = 0.001, eps: float = 1e-8):
@@ -119,20 +171,34 @@ def scale_by_lars(momentum: float = 0.9, trust_coefficient: float = 0.001, eps: 
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def build_optimizer(cfg, params) -> optax.GradientTransformation:
+def build_optimizer(cfg, params, name_prefix: str = "") -> optax.GradientTransformation:
     """Construct the gradient transformation WITHOUT the learning-rate
     scaling: the trainer multiplies the emitted updates by ``-lr`` each
     step (see ``apply_lr``), mirroring the reference's per-iteration
     ``set_lr`` (train_net_few_shot.py:95-96).  With MultiSteps wrapping,
     the lr of the boundary iteration applies — exactly torch's behavior
     where ``optimizer.step()`` uses the latest lr.
+
+    Group semantics (reference optimizer.py:43-83 + set_lr:146-156):
+      * decay: 'rest'/'head' -> SOLVER.WEIGHT_DECAY; 'bn' ->
+        BN.WEIGHT_DECAY; 'embd'/'cls_token' -> 0;
+      * BN.WB_LOCK freezes the bn group entirely;
+      * TRAIN.LR_REDUCE and TRAIN.FINE_TUNE scale the 'bn'+'rest' groups'
+        lr by 1/10 (the head keeps full lr for finetuning);
+      * TRAIN.FIXED_WEIGHTS / TRAIN.ONLY_LINEAR freeze parameters.
+
+    ``name_prefix`` positions the param tree inside the reference model
+    namespace — few-shot trainers pass "head" because the episodic heads
+    own the whole model (reference names are ``head.backbone...``).
     """
     s = cfg.SOLVER
     method = s.get("OPTIM_METHOD", "adam")
     wd = float(s.get("WEIGHT_DECAY", 0.0) or 0.0)
     bn_wd = float(cfg.BN.get("WEIGHT_DECAY", 0.0) or 0.0) if "BN" in cfg else 0.0
-    decay_mask = make_decay_mask(params)
-    inv_mask = jax.tree_util.tree_map(lambda m: not m, decay_mask)
+    wb_lock = bool(cfg.BN.get("WB_LOCK", False)) if "BN" in cfg else False
+    groups = param_groups(params, name_prefix)
+    decay_mask = jax.tree_util.tree_map(lambda g: g in ("rest", "head"), groups)
+    bn_mask = jax.tree_util.tree_map(lambda g: g == "bn", groups)
 
     chain = []
     clip_norm = cfg.TRAIN.get("CLIP_GRAD_NORM", None)
@@ -142,7 +208,7 @@ def build_optimizer(cfg, params) -> optax.GradientTransformation:
         if wd:
             chain.append(optax.add_decayed_weights(wd, mask=decay_mask))  # torch-L2: before moments
         if bn_wd:
-            chain.append(optax.add_decayed_weights(bn_wd, mask=inv_mask))
+            chain.append(optax.add_decayed_weights(bn_wd, mask=bn_mask))
         chain.append(optax.scale_by_adam(b1=0.9, b2=0.999))
     elif method == "adamw":
         chain.append(optax.scale_by_adam(b1=0.9, b2=0.999))
@@ -151,6 +217,8 @@ def build_optimizer(cfg, params) -> optax.GradientTransformation:
     elif method == "sgd":
         if wd:
             chain.append(optax.add_decayed_weights(wd, mask=decay_mask))
+        if bn_wd:
+            chain.append(optax.add_decayed_weights(bn_wd, mask=bn_mask))
         chain.append(optax.trace(decay=float(s.get("MOMENTUM", 0.9)), nesterov=bool(s.get("NESTEROV", False))))
     elif method == "lars":
         if wd:
@@ -158,6 +226,19 @@ def build_optimizer(cfg, params) -> optax.GradientTransformation:
         chain.append(scale_by_lars(momentum=float(s.get("MOMENTUM", 0.9))))
     else:
         raise NotImplementedError(f"Unsupported OPTIM_METHOD {method!r}")
+
+    # lr_reduce ÷10 for the non-head groups when finetuning (set_lr:146-156)
+    lr_reduce = bool(cfg.TRAIN.get("LR_REDUCE", False)) and bool(cfg.TRAIN.get("FINE_TUNE", False)) if "TRAIN" in cfg else False
+    if lr_reduce:
+        reduce_mask = jax.tree_util.tree_map(lambda g: g in ("bn", "rest"), groups)
+        chain.append(optax.masked(optax.scale(0.1), reduce_mask))
+
+    # frozen parameters: FIXED_WEIGHTS, ONLY_LINEAR, BN.WB_LOCK
+    fixed_mask = make_fixed_mask(params, cfg, name_prefix)
+    if wb_lock:
+        fixed_mask = jax.tree_util.tree_map(lambda f, b: bool(f or b), fixed_mask, bn_mask)
+    if any(jax.tree_util.tree_leaves(fixed_mask)):
+        chain.append(optax.masked(optax.set_to_zero(), fixed_mask))
 
     tx = optax.chain(*chain)
     accum = int(cfg.TRAIN.get("BATCH_SIZE_PER_TASK", 1))

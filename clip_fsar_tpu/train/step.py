@@ -51,11 +51,22 @@ def make_train_step(head, tx, cfg, text_train, text_test) -> Callable:
     num_frames = int(cfg.DATA.NUM_INPUT_FRAMES)
     ema_decay = float(cfg.MODEL.EMA.DECAY) if ("MODEL" in cfg and cfg.MODEL.EMA.get("ENABLE", False)) else None
 
+    # RN towers with live BatchNorm mutate running stats during training
+    # (reference trains the whole model; BN.FREEZE=false default)
+    bn_mutable = bool(getattr(head, "train_backbone_bn", False))
+
     def episode_loss(params, batch_stats, ep: Episode, rng) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         variables = {"params": params}
+        new_stats = None
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
-        out = head.apply(variables, ep, text_train, text_test, train=True, rngs={"dropout": rng})
+        if batch_stats is not None and bn_mutable:
+            out, mutated = head.apply(
+                variables, ep, text_train, text_test, train=True, rngs={"dropout": rng}, mutable=["batch_stats"]
+            )
+            new_stats = mutated["batch_stats"]
+        else:
+            out = head.apply(variables, ep, text_train, text_test, train=True, rngs={"dropout": rng})
         logits = out["logits"]
         ep_ce = optax.softmax_cross_entropy_with_integer_labels(logits, ep.target_labels).mean()
         loss = ep_ce
@@ -79,17 +90,21 @@ def make_train_step(head, tx, cfg, text_train, text_test) -> Callable:
         if recons_coff and out.get("loss_recons") is not None:
             loss = loss + recons_coff * out["loss_recons"]
         top1 = (jnp.argmax(logits, -1) == ep.target_labels).mean()
-        return loss, {"loss": loss, "ce": ep_ce, "top1": top1}
+        return loss, ({"loss": loss, "ce": ep_ce, "top1": top1}, new_stats)
 
-    def batch_loss(params, batch_stats, batch: Episode, rng) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    def batch_loss(params, batch_stats, batch: Episode, rng) -> Tuple[jnp.ndarray, Tuple[Dict, Any]]:
         e = batch.support_images.shape[0]
         rngs = jax.random.split(rng, e)
-        losses, metrics = jax.vmap(lambda ep, r: episode_loss(params, batch_stats, ep, r))(batch, rngs)
-        return losses.mean(), jax.tree_util.tree_map(lambda m: m.mean(), metrics)
+        losses, (metrics, new_stats) = jax.vmap(lambda ep, r: episode_loss(params, batch_stats, ep, r))(batch, rngs)
+        if new_stats is not None:
+            # each episode updated stats from the same starting point
+            # (reference: one episode per replica, no SyncBN) — average
+            new_stats = jax.tree_util.tree_map(lambda s: s.mean(axis=0), new_stats)
+        return losses.mean(), (jax.tree_util.tree_map(lambda m: m.mean(), metrics), new_stats)
 
     def train_step(state: TrainState, batch: Episode, lr: jnp.ndarray, rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         batch = _normalize_episode(batch, mean, std)
-        (loss, metrics), grads = jax.value_and_grad(batch_loss, has_aux=True)(
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(batch_loss, has_aux=True)(
             state.params, state.batch_stats, batch, rng
         )
         # NaN guard (reference train_net_few_shot.py:140-144): a non-finite
@@ -102,6 +117,8 @@ def make_train_step(head, tx, cfg, text_train, text_test) -> Callable:
         params = keep(params, state.params)
         opt_state = keep(opt_state, state.opt_state)
         new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+        if new_stats is not None:
+            new_state = new_state.replace(batch_stats=keep(new_stats, state.batch_stats))
         if ema_decay is not None:
             ema = jax.tree_util.tree_map(
                 lambda e_, p: ema_decay * e_ + (1.0 - ema_decay) * p, state.ema_params, params

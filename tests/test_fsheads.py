@@ -154,3 +154,48 @@ def test_molo_registry_and_temporal_regular_masks():
     assert abs(reg[0, 2] - (1 - np.exp(-1 / 2.0))) < 1e-6
     for name in ("CNN_BiMHM_MoLo", "CNN_HyRSM_plusplus_1shot", "CNN_HyRSM_plusplus_5shot"):
         assert name in HEAD_REGISTRY
+
+
+def test_hyrsm_pp_semi_head():
+    """CNN_HyRSM_plusplus_semi (reference few_shot.py:2193-2390):
+    prototype-relate base path + pseudo-labeled support extension."""
+    from clip_fsar_tpu.models.heads.fsheads import CNNHyRSMPlusPlusSemiHead
+
+    head = CNNHyRSMPlusPlusSemiHead(backbone_name=BACKBONE, way=WAY, num_frames=T, num_class=7)
+    ep, variables, out = _run(head, shot=2)
+    assert out["logits"].shape == (WAY * QPC, WAY)
+    assert out["class_logits"].shape == (WAY * (2 + QPC) * T, 7)
+    assert np.isfinite(float(out["loss_temporal_regular"]))
+
+    # an impossible confidence threshold accepts nothing: logits must match
+    # the no-unlabeled forward exactly (mask-all-zero == support-only means)
+    rng = np.random.RandomState(3)
+    unl = jnp.asarray(rng.rand(4, T, RES, RES, 3).astype(np.float32))
+    strict = CNNHyRSMPlusPlusSemiHead(
+        backbone_name=BACKBONE, way=WAY, num_frames=T, num_class=7, semi_threshold=1.5
+    )
+    out_strict = strict.apply(variables, ep.replace(unlabeled_images=unl), train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_strict["logits"]), np.asarray(out["logits"]), rtol=1e-4, atol=1e-5
+    )
+
+    # threshold 0 accepts every unlabeled clip: prototypes move, logits change
+    accept = CNNHyRSMPlusPlusSemiHead(
+        backbone_name=BACKBONE, way=WAY, num_frames=T, num_class=7, semi_threshold=0.0
+    )
+    out_accept = accept.apply(variables, ep.replace(unlabeled_images=unl), train=False)
+    assert not np.allclose(np.asarray(out_accept["logits"]), np.asarray(out["logits"]))
+
+
+def test_hyrsm_pp_semi_registry():
+    from clip_fsar_tpu.config import Config
+    from clip_fsar_tpu.utils.registry import HEAD_REGISTRY
+
+    cfg = Config({
+        "VIDEO": {"HEAD": {"BACKBONE_NAME": BACKBONE}},
+        "TRAIN": {"WAY": WAY, "WINDOW_SIZE": 3, "TEMPORAL_BALANCE": 1.0, "SEMI_THRESHOLD": 0.7,
+                  "SEMI_TEMPORAL": 0.5, "NUM_CLASS": 7, "USE_CLASSIFICATION": True},
+        "DATA": {"NUM_INPUT_FRAMES": T},
+    })
+    head = HEAD_REGISTRY.get("CNN_HyRSM_plusplus_semi")(cfg)
+    assert head.semi_threshold == 0.7 and head.semi_temporal == 0.5

@@ -59,23 +59,89 @@ def test_cosine_policy():
 
 
 def test_decay_mask_matches_reference_grouping():
+    """Pin every group against the reference's torch-name substring rules
+    (reference optimizer.py:58-70): CLIP ``ln_*`` params contain neither
+    "bn" nor "norm" in torch, so they DO get weight decay; ``bn*``/``norm*``
+    go to the BN group; ``embd``/``cls_token`` get none; everything in the
+    few-shot head tree that matches nothing is the "head" group."""
+    from clip_fsar_tpu.train.optimizer import param_groups
+
     params = {
         "backbone": {
             "ln_1": {"LayerNorm_0": {"scale": np.ones(3), "bias": np.zeros(3)}},
             "bn1": {"BatchNorm_0": {"scale": np.ones(3), "bias": np.zeros(3)}},
             "conv1": {"kernel": np.ones((3, 3))},
+            "positional_embedding": np.ones((5, 3)),
         },
         "context2": {"norm_0": {"scale": np.ones(3)}},
         "scale": np.ones(1),
     }
-    mask = make_decay_mask(params)
-    # CLIP ln_* DID get decay in the reference (named "ln_", not "norm")
-    assert mask["backbone"]["ln_1"]["LayerNorm_0"]["scale"] is False or mask["backbone"]["ln_1"]["LayerNorm_0"]["scale"] is True
-    # "bn"/"norm_" components are excluded
+    mask = make_decay_mask(params, name_prefix="head")
+    # CLIP ln_* DID get decay in the reference (torch name "ln_1.weight")
+    assert mask["backbone"]["ln_1"]["LayerNorm_0"]["scale"] is True
+    assert mask["backbone"]["ln_1"]["LayerNorm_0"]["bias"] is True
+    # "bn"/"norm" named components go to the BN group (BN.WEIGHT_DECAY)
     assert mask["backbone"]["bn1"]["BatchNorm_0"]["scale"] is False
     assert mask["context2"]["norm_0"]["scale"] is False
     assert mask["backbone"]["conv1"]["kernel"] is True
+    assert mask["backbone"]["positional_embedding"] is True  # no "embd" substring
     assert mask["scale"] is True
+
+    groups = param_groups(params, name_prefix="head")
+    assert groups["backbone"]["ln_1"]["LayerNorm_0"]["scale"] == "head"
+    assert groups["backbone"]["bn1"]["BatchNorm_0"]["scale"] == "bn"
+    assert groups["context2"]["norm_0"]["scale"] == "bn"
+    assert groups["scale"] == "head"
+
+    # video-transformer names: pos_embd/cls_token -> no decay; bare tree
+    # (classification task) distinguishes head vs rest
+    vparams = {
+        "backbone": {"pos_embd": np.ones(3), "cls_token": np.ones(3), "blocks_0": {"fc": {"kernel": np.ones((2, 2))}}},
+        "head": {"out": {"kernel": np.ones((2, 2))}},
+    }
+    vgroups = param_groups(vparams)
+    assert vgroups["backbone"]["pos_embd"] == "no_decay"
+    assert vgroups["backbone"]["cls_token"] == "no_decay"
+    assert vgroups["backbone"]["blocks_0"]["fc"]["kernel"] == "rest"
+    assert vgroups["head"]["out"]["kernel"] == "head"
+
+
+def test_fixed_weights_and_lr_reduce():
+    """TRAIN.FIXED_WEIGHTS freezes matched top-level modules; LR_REDUCE +
+    FINE_TUNE scales non-head groups' lr by 1/10 (reference
+    optimizer.py:50-57, set_lr:146-156)."""
+    from clip_fsar_tpu.config import Config
+
+    params = {
+        "backbone": {"conv1": {"kernel": jnp.ones((2, 2))}},
+        "context2": {"ff_0": {"fc1": {"kernel": jnp.ones((2, 2))}}},
+        "scale": jnp.ones(1),
+    }
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+
+    cfg = Config({
+        "SOLVER": {"OPTIM_METHOD": "sgd", "WEIGHT_DECAY": 0.0, "BASE_LR": 1.0, "MOMENTUM": 0.0, "NESTEROV": False},
+        "TRAIN": {"BATCH_SIZE_PER_TASK": 1, "FIXED_WEIGHTS": ["backbone"]},
+        "BN": {"WEIGHT_DECAY": 0.0},
+    })
+    tx = build_optimizer(cfg, params, name_prefix="head")
+    st = tx.init(params)
+    upd, _ = tx.update(grads, st, params)
+    np.testing.assert_allclose(np.asarray(upd["backbone"]["conv1"]["kernel"]), 0.0)  # frozen
+    np.testing.assert_allclose(np.asarray(upd["scale"]), 1.0)
+
+    cfg2 = Config({
+        "SOLVER": {"OPTIM_METHOD": "sgd", "WEIGHT_DECAY": 0.0, "BASE_LR": 1.0, "MOMENTUM": 0.0, "NESTEROV": False},
+        "TRAIN": {"BATCH_SIZE_PER_TASK": 1, "LR_REDUCE": True, "FINE_TUNE": True},
+        "BN": {"WEIGHT_DECAY": 0.0},
+    })
+    # bare tree: backbone params are the lr-reduced "rest" group, head keeps lr
+    bare = {"backbone": {"conv1": {"kernel": jnp.ones((2, 2))}}, "head": {"fc": {"kernel": jnp.ones((2, 2))}}}
+    tx2 = build_optimizer(cfg2, bare)
+    st2 = tx2.init(bare)
+    upd2, _ = tx2.update(jax.tree_util.tree_map(jnp.ones_like, bare), st2, bare)
+    np.testing.assert_allclose(np.asarray(upd2["backbone"]["conv1"]["kernel"]), 0.1)
+    np.testing.assert_allclose(np.asarray(upd2["head"]["fc"]["kernel"]), 1.0)
 
 
 def test_adam_matches_torch_l2_semantics():
