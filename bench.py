@@ -40,7 +40,16 @@ def main() -> int:
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--res", type=int, default=224)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--remat-policy", default="", choices=["", "nothing", "dots"])
+    p.add_argument("--attention", default="", choices=["", "xla", "pallas"])
+    p.add_argument("--dtype", default="", choices=["", "bfloat16", "float32"])
+    p.add_argument("--profile", default="", help="write a jax.profiler trace to this dir")
+    p.add_argument("--loader", action="store_true", help="benchmark the host episode pipeline instead of the device step")
     args = p.parse_args()
+
+    if args.loader:
+        return bench_loader(args)
 
     if args.quick:
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -72,6 +81,14 @@ def main() -> int:
     cfg = _cfg(args.backbone, args.frames, args.res, episodes, ways=ways, shot=shot, qpc=qpc)
     if args.remat or (not args.quick and not args.eval and args.backbone.startswith("ViT")):
         cfg.TPU.REMAT = True
+    if args.no_remat:
+        cfg.TPU.REMAT = False
+    if args.remat_policy:
+        cfg.TPU.REMAT_POLICY = args.remat_policy
+    if args.attention:
+        cfg.TPU.PALLAS_ATTENTION = args.attention == "pallas"
+    if args.dtype:
+        cfg.TPU.COMPUTE_DTYPE = args.dtype
     mesh = build_mesh(cfg)
 
     model = build_few_shot_model(cfg, jax.random.PRNGKey(0))
@@ -111,6 +128,9 @@ def main() -> int:
     # warmup (compile)
     for _ in range(2):
         run_once()
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            run_once()
     t0 = time.perf_counter()
     for _ in range(args.steps):
         run_once()
@@ -138,6 +158,50 @@ def main() -> int:
         },
     }
     print(json.dumps(result))
+    return 0
+
+
+def bench_loader(args) -> int:
+    """Host input-pipeline throughput: episodes/s through the synthetic
+    decoder + transform + batch path (compare against the device step rate
+    from the default bench to see which side bounds training)."""
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import json as _json
+    import time as _time
+
+    from __graft_entry__ import _cfg
+    from clip_fsar_tpu.data.loader import build_few_shot_loader
+
+    if args.quick:
+        args.backbone, args.res, args.frames = "ViT-Tiny-Test", 64, 4
+    episodes = args.episodes or 4
+    cfg = _cfg(args.backbone, args.frames, args.res, episodes)
+    steps = max(args.steps, 5)
+    with build_few_shot_loader(cfg, "train", num_steps=steps + 2, episodes_per_step=episodes) as loader:
+        it = iter(loader)
+        next(it)  # warm the workers
+        t0 = _time.perf_counter()
+        for _ in range(steps):
+            next(it)
+        dt = _time.perf_counter() - t0
+    eps_per_sec = episodes * steps / dt
+    print(
+        _json.dumps(
+            {
+                "metric": "clipfsar_loader_episodes_per_sec",
+                "value": round(eps_per_sec, 4),
+                "unit": "episodes/s",
+                "vs_baseline": round(eps_per_sec / ASSUMED_BASELINE_EPS_PER_SEC, 4),
+                "detail": {
+                    "episodes_per_step": episodes,
+                    "steps": steps,
+                    "frames": args.frames,
+                    "res": args.res,
+                    "decoder": "synthetic",
+                },
+            }
+        )
+    )
     return 0
 
 

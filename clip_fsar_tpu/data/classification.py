@@ -61,13 +61,20 @@ class ClassificationDataset:
             for e in entries:
                 self.samples.append((str(e["id"]) + ".mp4", int(e["label_idx"])))
         else:
+            dual = isinstance(self.cfg.VIDEO.HEAD.get("NUM_CLASSES", 0), (list, tuple))
             with open(path) as f:
                 for line in f:
                     line = line.strip()
                     if not line:
                         continue
-                    rel, label = line.rsplit(" ", 1)
-                    self.samples.append((rel, int(label)))
+                    if dual:
+                        # EPIC verb+noun lines: "<path> <verb> <noun>"
+                        # (reference epickitchen100.py:56-84 reads csv columns)
+                        rel, verb, noun = line.rsplit(" ", 2)
+                        self.samples.append((rel, (int(verb), int(noun))))
+                    else:
+                        rel, label = line.rsplit(" ", 1)
+                        self.samples.append((rel, int(label)))
         if not self.samples:
             raise ValueError(f"Empty dataset list {path}")
         logger.info("%s[%s]: %d videos x %d clips", type(self).__name__, self.split, len(self.samples), self._num_clips)

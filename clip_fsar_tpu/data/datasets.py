@@ -47,7 +47,11 @@ class FewShotVideoDataset:
         return os.path.join(self.data_root, rel)
 
     def make_sampler(self, worker_id: int = 0) -> EpisodeSampler:
-        seed = int(self.cfg.get("RANDOM_SEED", 0)) * 100003 + worker_id * 997 + (0 if self.split == "train" else 1)
+        # worker-INDEPENDENT seed: the loader reseeds per step index
+        # ((seed, step) streams), so the episode sequence is reproducible
+        # for any worker count; worker_id must not enter the seed.
+        del worker_id
+        seed = int(self.cfg.get("RANDOM_SEED", 0)) * 100003 + (0 if self.split == "train" else 1)
         mode = "train" if self.split == "train" else "test"
         return EpisodeSampler(self.cfg, self.fs_split, self.decoder, mode=mode, seed=seed, path_map=self.path_map)
 

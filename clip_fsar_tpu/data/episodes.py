@@ -14,7 +14,6 @@ is rebuilt from scratch.
 
 from __future__ import annotations
 
-import queue
 import threading
 from typing import Iterator, Optional
 
@@ -36,6 +35,7 @@ class EpisodeSampler:
         self.split = split
         self.decoder = decoder
         self.mode = mode
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.path_map = path_map or (lambda p: p)
 
@@ -68,6 +68,14 @@ class EpisodeSampler:
         if self.mode == "train":
             return train_transform(frames, self.cfg, self.rng)
         return test_transform(frames, self.cfg)
+
+    def reseed_for_step(self, step: int) -> None:
+        """Deterministic per-step stream: the episode content of step k
+        depends only on (seed, k), not on which worker produced it or in
+        what order workers ran — fixed RANDOM_SEED gives a reproducible
+        episode sequence (the reference's free-running DataLoader workers
+        do not have this property)."""
+        self.rng = np.random.default_rng((self.seed, step))
 
     def sample_episode(self) -> Episode:
         retries = 5
@@ -124,45 +132,76 @@ def stack_episodes(episodes) -> Episode:
 
 
 class EpisodeLoader:
-    """Background-threaded episode producer yielding [E, ...] batches.
+    """Background-threaded, seed-deterministic episode producer yielding
+    [E, ...] batches *in step order*.
 
     Replaces torch DataLoader workers (datasets/base/builder.py:84-93):
     threads suffice because decode releases the GIL in cv2/PIL and the
     synthetic path is numpy-bound.
+
+    Determinism design: step k's batch is generated from RNG stream
+    (seed, k) — workers claim step indices from a shared counter, produce
+    out of order, and a reorder buffer delivers in order.  Same seed =>
+    identical episode stream for any worker count.
     """
 
     def __init__(self, sampler_factory, episodes_per_step: int, num_workers: int = 4, prefetch: int = 2, num_steps: Optional[int] = None):
         self.episodes_per_step = episodes_per_step
         self.num_steps = num_steps
-        self._queue: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
         self._stop = threading.Event()
         self._samplers = [sampler_factory(i) for i in range(max(num_workers, 1))]
+        # reorder buffer: step index -> batch; bounded by window
+        self._window = max(prefetch, 1) + len(self._samplers)
+        self._buffer: dict = {}
+        self._cond = threading.Condition()
+        self._next_claim = 0  # next step index a worker may claim
+        self._next_emit = 0  # next step index __iter__ will yield
         self._threads = []
-        self._produced = 0
-        self._lock = threading.Lock()
         for s in self._samplers:
             th = threading.Thread(target=self._worker, args=(s,), daemon=True)
             th.start()
             self._threads.append(th)
 
+    def _claim(self) -> Optional[int]:
+        with self._cond:
+            while not self._stop.is_set():
+                if self.num_steps is not None and self._next_claim >= self.num_steps:
+                    return None
+                # backpressure: don't run further than the reorder window
+                if self._next_claim < self._next_emit + self._window:
+                    step = self._next_claim
+                    self._next_claim += 1
+                    return step
+                self._cond.wait(timeout=0.2)
+            return None
+
     def _worker(self, sampler: EpisodeSampler) -> None:
         while not self._stop.is_set():
+            step = self._claim()
+            if step is None:
+                return
+            sampler.reseed_for_step(step)
             batch = stack_episodes([sampler.sample_episode() for _ in range(self.episodes_per_step)])
-            while not self._stop.is_set():
-                try:
-                    self._queue.put(batch, timeout=0.2)
-                    break
-                except queue.Full:
-                    continue
+            with self._cond:
+                self._buffer[step] = batch
+                self._cond.notify_all()
 
     def __iter__(self) -> Iterator[Episode]:
-        n = 0
-        while self.num_steps is None or n < self.num_steps:
-            yield self._queue.get()
-            n += 1
+        while self.num_steps is None or self._next_emit < self.num_steps:
+            with self._cond:
+                while self._next_emit not in self._buffer and not self._stop.is_set():
+                    self._cond.wait(timeout=0.2)
+                if self._stop.is_set() and self._next_emit not in self._buffer:
+                    return
+                batch = self._buffer.pop(self._next_emit)
+                self._next_emit += 1
+                self._cond.notify_all()
+            yield batch
 
     def close(self) -> None:
         self._stop.set()
+        with self._cond:
+            self._cond.notify_all()
         for th in self._threads:
             th.join(timeout=2.0)
 

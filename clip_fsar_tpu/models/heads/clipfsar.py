@@ -157,10 +157,19 @@ class CLIPFSARHead(nn.Module):
             deterministic = not train
         text_eval = text_test if text_test is not None else text_train
 
-        # --- CLIP visual features (support and target separately: parity
-        # with reference get_feats, incl. BN batch statistics) ---
-        support_features = self.encode_frames(episode.support_images, train=train).astype(jnp.float32)
-        target_features = self.encode_frames(episode.target_images, train=train).astype(jnp.float32)
+        # --- CLIP visual features.  One fused encode over support+target
+        # keeps the MXU fed with a single large batch (the reference's two
+        # calls, few_shot.py:2744-2770, are a torch ergonomics artifact) —
+        # identical math except when RN BatchNorm runs on batch statistics
+        # in train mode, where the reference's per-call stats are kept. ---
+        s_clips = episode.support_images.shape[0]
+        if train and self.train_backbone_bn and not self.arch.is_vit:
+            support_features = self.encode_frames(episode.support_images, train=train).astype(jnp.float32)
+            target_features = self.encode_frames(episode.target_images, train=train).astype(jnp.float32)
+        else:
+            both = jnp.concatenate([episode.support_images, episode.target_images], axis=0)
+            feats = self.encode_frames(both, train=train).astype(jnp.float32)
+            support_features, target_features = feats[:s_clips], feats[s_clips:]
         scale = self.scale.astype(jnp.float32)
 
         if not train and hc.eval_text:

@@ -36,26 +36,58 @@ def _honor_platform_env() -> None:
             pass
 
 
-def _run_list(cfg) -> List[str]:
+def _multi_scale_cfg(cfg):
+    """Second auto-queued multi-view test (reference run.py:50-72): after
+    the single-view test, re-test with the dataset-dependent ensemble
+    views/crops."""
+    ms = cfg.deep_copy()
+    ms.LOG_MODEL_INFO = False
+    ms.LOG_CONFIG_INFO = False
+    ms.TEST.NUM_ENSEMBLE_VIEWS = 10
+    ms.TEST.NUM_SPATIAL_CROPS = 1
+    dataset = str(ms.TEST.get("DATASET", ms.TRAIN.get("DATASET", ""))).lower()
+    if "kinetics" in dataset or "epickitchen" in dataset:
+        ms.TEST.NUM_SPATIAL_CROPS = 3
+    if "imagenet" in dataset and not ms.get("PRETRAIN", {}).get("ENABLE", False):
+        ms.TEST.NUM_ENSEMBLE_VIEWS = 1
+        ms.TEST.NUM_SPATIAL_CROPS = 3
+    if "ssv2" in dataset:
+        ms.TEST.NUM_ENSEMBLE_VIEWS = 1
+        ms.TEST.NUM_SPATIAL_CROPS = 3
+    ms.TEST.LOG_FILE = f"val_{ms.TEST.NUM_ENSEMBLE_VIEWS}clipsx{ms.TEST.NUM_SPATIAL_CROPS}crops.log"
+    return ms
+
+
+def _run_list(cfg) -> List[tuple]:
+    """[(cfg, runner_name)] — each entry carries its own (deep-copied)
+    config like the reference run list (run.py:42-85)."""
     task = cfg.get("TASK_TYPE", "classification")
-    runs: List[str] = []
+    runs: List[tuple] = []
     if task == "few_shot_action":
         if cfg.TRAIN.get("ENABLE", False):
-            runs.append("train_few_shot")
-        runs.append("test_few_shot")
+            runs.append((cfg.deep_copy(), "train_few_shot"))
+        runs.append((cfg.deep_copy(), "test_few_shot"))
     elif task == "classification":
         if cfg.TRAIN.get("ENABLE", False):
-            runs.append("train")
+            runs.append((cfg.deep_copy(), "train"))
         if cfg.TEST.get("ENABLE", False):
-            runs.append("test")
+            runs.append((cfg.deep_copy(), "test"))
+            if cfg.TEST.get("AUTOMATIC_MULTI_SCALE_TEST", False):
+                runs.append((_multi_scale_cfg(cfg), "test"))
+        if cfg.get("SUBMISSION", {}).get("ENABLE", False):
+            sub = cfg.deep_copy()
+            sub.LOG_MODEL_INFO = False
+            sub.TEST.NUM_ENSEMBLE_VIEWS = 10
+            sub.TEST.NUM_SPATIAL_CROPS = 3
+            runs.append((sub, "submission_classification"))
     elif task == "localization":
         if cfg.TRAIN.get("ENABLE", False):
-            runs.append("train_localization")
-        runs.append("test_epic_localization")
+            runs.append((cfg.deep_copy(), "train_localization"))
+        runs.append((cfg.deep_copy(), "test_epic_localization"))
     elif task == "submission":
-        runs.append("submission_test")
+        runs.append((cfg.deep_copy(), "submission_test"))
     elif task == "pretrain":
-        runs.append("train")
+        runs.append((cfg.deep_copy(), "train"))
     else:
         raise ValueError(f"Unknown TASK_TYPE {task!r}")
     return runs
@@ -68,7 +100,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     setup_logging(cfg.get("OUTPUT_DIR", None))
     logger.info("TASK_TYPE=%s OUTPUT_DIR=%s", cfg.get("TASK_TYPE"), cfg.get("OUTPUT_DIR"))
 
-    for run_name in _run_list(cfg):
+    for run_cfg, run_name in _run_list(cfg):
+        cfg = run_cfg
         logger.info("=== run: %s ===", run_name)
         if run_name == "train_few_shot":
             from clip_fsar_tpu.train.loop import train_few_shot
@@ -92,6 +125,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             test_epic_localization(cfg)
         elif run_name == "submission_test":
             from clip_fsar_tpu.train.localization import submission_test
+
+            submission_test(cfg)
+        elif run_name == "submission_classification":
+            from clip_fsar_tpu.train.classification import submission_test
 
             submission_test(cfg)
         else:

@@ -46,14 +46,40 @@ def _build(cfg):
 def make_classification_train_step(model, tx, cfg):
     mean = tuple(float(x) for x in cfg.DATA.MEAN)
     std = tuple(float(x) for x in cfg.DATA.STD)
-    num_classes = int(cfg.VIDEO.HEAD.NUM_CLASSES)
+    nc = cfg.VIDEO.HEAD.NUM_CLASSES
+    dual_head = isinstance(nc, (list, tuple))  # EPIC verb+noun (BaseHeadx2)
+    num_classes = None if dual_head else int(nc)
     aug = cfg.AUGMENTATION
     mix_enabled = bool(aug.MIXUP.get("ENABLE", False)) or bool(aug.CUTMIX.get("ENABLE", False))
     smoothing = float(aug.get("LABEL_SMOOTHING", 0.0) or 0.0)
     ema_decay = float(cfg.MODEL.EMA.DECAY) if cfg.MODEL.EMA.get("ENABLE", False) else None
 
+    color_or_erase = bool(aug.get("COLOR_AUG", False)) or (
+        hasattr(aug.get("RANDOM_ERASING", {}), "get") and bool(aug.RANDOM_ERASING.get("ENABLE", False))
+    )
+
     def loss_fn(params, batch_stats, videos, labels, rng):
-        x = normalize_images(videos, mean, std)
+        if color_or_erase:
+            # device-side jitter/erasing (the reference's AUGMENTATION.USE_GPU
+            # path, finetune.yaml) fused into the jitted step
+            from clip_fsar_tpu.data.augment import apply_train_augment
+
+            rng, aug_rng = jax.random.split(rng)
+            x = apply_train_augment(aug_rng, videos, cfg, mean, std)
+        else:
+            x = normalize_images(videos, mean, std)
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        if dual_head:
+            # EPIC verb+noun: loss_verb + loss_noun (reference
+            # losses.calculate_loss:110-116 sums CE per label key)
+            (pv, pn), _ = model.apply(variables, x, train=True, rngs={"dropout": rng})
+            tv = smooth_one_hot(labels[:, 0], int(nc[0]), smoothing)
+            tn = smooth_one_hot(labels[:, 1], int(nc[1]), smoothing)
+            loss = optax.softmax_cross_entropy(pv, tv).mean() + optax.softmax_cross_entropy(pn, tn).mean()
+            top1 = ((jnp.argmax(pv, -1) == labels[:, 0]) & (jnp.argmax(pn, -1) == labels[:, 1])).mean()
+            return loss, {"loss": loss, "top1": top1}
         if mix_enabled:
             rng, mix_rng = jax.random.split(rng)
             x, targets = mixup_batch(
@@ -66,9 +92,6 @@ def make_classification_train_step(model, tx, cfg):
             )
         else:
             targets = smooth_one_hot(labels, num_classes, smoothing)
-        variables = {"params": params}
-        if batch_stats is not None:
-            variables["batch_stats"] = batch_stats
         logits, _ = model.apply(variables, x, train=True, rngs={"dropout": rng})
         loss = optax.softmax_cross_entropy(logits, targets).mean()
         top1 = (jnp.argmax(logits, -1) == labels).mean()
@@ -172,15 +195,26 @@ def train(cfg) -> Dict[str, float]:
     return {"best_top1": best_top1}
 
 
+def _dual_head(cfg) -> bool:
+    return isinstance(cfg.VIDEO.HEAD.get("NUM_CLASSES", 0), (list, tuple))
+
+
 def _eval_epoch(cfg, model, variables, eval_step, mesh) -> Dict[str, float]:
     sh = data_sharding(mesh)
     variables = replicate(variables, mesh)
     loader = build_classification_loader(cfg, "test")
+    dual = _dual_head(cfg)
     correct = total = 0
     for videos, labels, clip_ids in loader:
-        preds = np.asarray(jax.device_get(eval_step(variables, jax.device_put(videos, sh))))
+        out = jax.device_get(eval_step(variables, jax.device_put(videos, sh)))
         valid = clip_ids >= 0
-        correct += int((preds.argmax(-1)[valid] == labels[valid]).sum())
+        if dual:
+            pv, pn = (np.asarray(o) for o in out)
+            hit = (pv.argmax(-1)[valid] == labels[valid, 0]) & (pn.argmax(-1)[valid] == labels[valid, 1])
+            correct += int(hit.sum())
+        else:
+            preds = np.asarray(out)
+            correct += int((preds.argmax(-1)[valid] == labels[valid]).sum())
         total += int(valid.sum())
     stats = {"top1_acc": correct / max(total, 1) * 100.0}
     log_json_stats({"_type": "val_epoch", **stats, "samples": total}, logger)
@@ -203,14 +237,83 @@ def test(cfg) -> Dict[str, float]:
     eval_step = jax.jit(make_classification_eval_step(model, cfg))
     loader = build_classification_loader(cfg, "test")
     num_clips = loader.ds._num_clips
+    sh = data_sharding(mesh)
+    variables = replicate(variables, mesh)
+
+    if _dual_head(cfg):
+        # EPIC verb+noun multi-view protocol (reference runs/test.py +
+        # EpicKitchenMeter, meters.py:178-468)
+        from clip_fsar_tpu.utils.meters import EpicKitchenMeter
+
+        meter = EpicKitchenMeter(
+            num_videos=len(loader.ds.samples), num_clips=num_clips,
+            num_cls=cfg.VIDEO.HEAD.NUM_CLASSES,
+            ensemble_method=str(cfg.DATA.get("ENSEMBLE_METHOD", "sum")),
+        )
+        for videos, labels, clip_ids in loader:
+            pv, pn = (np.asarray(o) for o in jax.device_get(eval_step(variables, jax.device_put(videos, sh))))
+            valid = clip_ids >= 0
+            meter.update_stats(pv[valid], pn[valid], labels[valid, 0], labels[valid, 1], clip_ids[valid])
+        return meter.finalize_metrics()
+
     meter = TestMeter(
         num_videos=len(loader.ds.samples), num_clips=num_clips, num_cls=int(cfg.VIDEO.HEAD.NUM_CLASSES),
+        ensemble_method=str(cfg.DATA.get("ENSEMBLE_METHOD", "sum")),
+    )
+    for videos, labels, clip_ids in loader:
+        preds = np.asarray(jax.device_get(eval_step(variables, jax.device_put(videos, sh))))
+        valid = clip_ids >= 0
+        meter.update_stats(preds[valid], labels[valid], clip_ids[valid])
+    return meter.finalize_metrics()
+
+
+def submission_test(cfg) -> Dict[str, float]:
+    """EPIC test-set submission (reference runs/submission_test.py:24-282):
+    run the multi-view EPIC test, then write the per-video ensembled
+    verb/noun scores as a submission JSON."""
+    import json
+    import os
+
+    setup_logging(cfg.get("OUTPUT_DIR", None))
+    mesh = build_mesh(cfg)
+    model, variables = _build(cfg)
+    tx = build_optimizer(cfg, variables["params"])
+    template = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"], opt_state=tx.init(variables["params"]), batch_stats=variables.get("batch_stats"))
+    ckpt = Checkpointer(cfg.OUTPUT_DIR)
+    from clip_fsar_tpu.train.pretrain import load_test_variables
+    from clip_fsar_tpu.utils.meters import EpicKitchenMeter
+
+    variables = load_test_variables(cfg, ckpt, template, variables)
+    ckpt.close()
+
+    eval_step = jax.jit(make_classification_eval_step(model, cfg))
+    loader = build_classification_loader(cfg, "test")
+    meter = EpicKitchenMeter(
+        num_videos=len(loader.ds.samples), num_clips=loader.ds._num_clips,
+        num_cls=cfg.VIDEO.HEAD.NUM_CLASSES,
         ensemble_method=str(cfg.DATA.get("ENSEMBLE_METHOD", "sum")),
     )
     sh = data_sharding(mesh)
     variables = replicate(variables, mesh)
     for videos, labels, clip_ids in loader:
-        preds = np.asarray(jax.device_get(eval_step(variables, jax.device_put(videos, sh))))
+        pv, pn = (np.asarray(o) for o in jax.device_get(eval_step(variables, jax.device_put(videos, sh))))
         valid = clip_ids >= 0
-        meter.update_stats(preds[valid], labels[valid], clip_ids[valid])
+        meter.update_stats(pv[valid], pn[valid], labels[valid, 0], labels[valid, 1], clip_ids[valid])
+
+    preds = meter.get_video_preds()
+    results = {
+        "version": "0.2",
+        "challenge": "action_recognition",
+        "results": {
+            str(loader.ds.samples[v][0]): {
+                "verb": {str(c): float(s) for c, s in enumerate(preds["verb_class"][v])},
+                "noun": {str(c): float(s) for c, s in enumerate(preds["noun_class"][v])},
+            }
+            for v in range(len(loader.ds.samples))
+        },
+    }
+    out_path = os.path.join(cfg.OUTPUT_DIR, "submission.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f)
+    logger.info("wrote EPIC submission JSON: %s", out_path)
     return meter.finalize_metrics()

@@ -238,3 +238,97 @@ class TestMeter:
             stats[f"top{k}_acc"] = float(hit.mean() * 100.0)
         log_json_stats(stats, logger)
         return stats
+
+
+class EpicKitchenMeter:
+    """Multi-view ensemble for the EPIC verb+noun protocol (reference
+    utils/meters.py:178-468): per-video verb scores, noun scores, and the
+    verb x noun outer-product "action" scores are each ensembled over the
+    clips views, then joint top-k is computed — a joint hit requires both
+    the verb and the noun to be in their respective top-k (reference
+    metrics.joint_topks_correct:12-96).
+
+    TPU-era simplification: numpy accumulators on the host (scores arrive
+    as device_get results); the action score is kept factored as
+    (verb ensemble, noun ensemble) instead of materializing the V x C_v*C_n
+    outer-product table — the joint top-k only needs the factors for
+    ``sum`` ensembling of independent clips when actions are scored by
+    verb[k]*noun[k] per view; to stay exact wrt the reference we DO keep
+    the per-view outer product summed into a [C_v, C_n] table per video.
+    """
+
+    def __init__(self, num_videos: int, num_clips: int, num_cls, ensemble_method: str = "sum"):
+        assert ensemble_method in ("sum", "max")
+        self.num_clips = num_clips
+        self.ensemble_method = ensemble_method
+        cv, cn = int(num_cls[0]), int(num_cls[1])
+        self.cv, self.cn = cv, cn
+        self.verb_preds = np.zeros((num_videos, cv), dtype=np.float64)
+        self.noun_preds = np.zeros((num_videos, cn), dtype=np.float64)
+        self.action_preds = np.zeros((num_videos, cv, cn), dtype=np.float64)
+        self.verb_labels = -np.ones((num_videos,), dtype=np.int64)
+        self.noun_labels = -np.ones((num_videos,), dtype=np.int64)
+        self.clip_count = np.zeros((num_videos,), dtype=np.int64)
+        self.video_names: Dict[int, str] = {}
+
+    def reset(self) -> None:
+        self.verb_preds[:] = 0.0
+        self.noun_preds[:] = 0.0
+        self.action_preds[:] = 0.0
+        self.verb_labels[:] = -1
+        self.noun_labels[:] = -1
+        self.clip_count[:] = 0
+
+    def update_stats(self, preds_verb, preds_noun, labels_verb, labels_noun, clip_ids, names=()) -> None:
+        preds_verb, preds_noun = np.asarray(preds_verb), np.asarray(preds_noun)
+        labels_verb, labels_noun = np.asarray(labels_verb), np.asarray(labels_noun)
+        clip_ids = np.asarray(clip_ids)
+        for i in range(preds_verb.shape[0]):
+            vid = int(clip_ids[i]) // self.num_clips
+            if self.verb_labels[vid] >= 0:
+                assert self.verb_labels[vid] == int(labels_verb[i]) and self.noun_labels[vid] == int(labels_noun[i])
+            self.verb_labels[vid] = int(labels_verb[i])
+            self.noun_labels[vid] = int(labels_noun[i])
+            if len(names) > 0:
+                self.video_names[vid] = names[i]
+            outer = np.outer(preds_verb[i], preds_noun[i])
+            if self.ensemble_method == "sum":
+                self.verb_preds[vid] += preds_verb[i]
+                self.noun_preds[vid] += preds_noun[i]
+                self.action_preds[vid] += outer
+            else:
+                self.verb_preds[vid] = np.maximum(self.verb_preds[vid], preds_verb[i])
+                self.noun_preds[vid] = np.maximum(self.noun_preds[vid], preds_noun[i])
+                self.action_preds[vid] = np.maximum(self.action_preds[vid], outer)
+            self.clip_count[vid] += 1
+
+    @staticmethod
+    def _topk_hit(preds: np.ndarray, labels: np.ndarray, k: int) -> np.ndarray:
+        order = np.argsort(-preds, axis=1)[:, :k]
+        return (order == labels[:, None]).any(axis=1)
+
+    def finalize_metrics(self, ks=(1, 5)) -> Dict[str, float]:
+        if not np.all(self.clip_count == self.num_clips):
+            logger.warning("%d videos have missing clips", int(np.sum(self.clip_count != self.num_clips)))
+        stats: Dict[str, float] = {"_type": "test_final"}
+        flat_action = self.action_preds.reshape(self.action_preds.shape[0], -1)
+        action_labels = self.verb_labels * self.cn + self.noun_labels
+        for k in ks:
+            hv = self._topk_hit(self.verb_preds, self.verb_labels, k)
+            hn = self._topk_hit(self.noun_preds, self.noun_labels, k)
+            stats[f"top_{k}_acc_verb"] = float(hv.mean() * 100.0)
+            stats[f"top_{k}_acc_noun"] = float(hn.mean() * 100.0)
+            # joint: verb AND noun each within their own top-k
+            stats[f"top_{k}_acc_joint"] = float((hv & hn).mean() * 100.0)
+            # action: top-k over the ensembled verb x noun outer product
+            stats[f"top_{k}_acc_action"] = float(self._topk_hit(flat_action, action_labels, k).mean() * 100.0)
+        log_json_stats(stats, logger)
+        return stats
+
+    def get_video_preds(self) -> Dict[str, np.ndarray]:
+        """Ensembled per-video scores for submission JSON generation."""
+        return {
+            "verb_class": self.verb_preds,
+            "noun_class": self.noun_preds,
+            "action_class_ind_pred": self.action_preds.reshape(self.action_preds.shape[0], -1),
+        }

@@ -18,7 +18,11 @@ REFERENCE_ROOT = "/root/reference"
 
 
 def _module(name: str, **attrs) -> types.ModuleType:
+    import importlib.machinery
+
     mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    mod.__path__ = []  # mark as package so submodule imports resolve
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod
@@ -50,9 +54,27 @@ def _install_stubs() -> None:
         BICUBIC = "bicubic"
         BILINEAR = "bilinear"
 
+    # Lambda/Compose are real (the reference ColorJitter executes them)
+    class _Lambda:
+        def __init__(self, fn):
+            self.fn = fn
+
+        def __call__(self, x):
+            return self.fn(x)
+
+    class _Compose:
+        def __init__(self, fns):
+            self.fns = fns
+
+        def __call__(self, x):
+            for f in self.fns:
+                x = f(x)
+            return x
+
     tv.transforms = _module(
         "torchvision.transforms",
-        Compose=_Inert("Compose"),
+        Compose=_Compose,
+        Lambda=_Lambda,
         Resize=_Inert("Resize"),
         CenterCrop=_Inert("CenterCrop"),
         ToTensor=_Inert("ToTensor"),
@@ -60,6 +82,7 @@ def _install_stubs() -> None:
         InterpolationMode=_InterpolationMode,
     )
     tv.transforms.functional = _module("torchvision.transforms.functional")
+    tv.transforms._functional_video = _module("torchvision.transforms._functional_video", resized_crop=_Inert("resized_crop"))
     tv.transforms._transforms_video = _module("torchvision.transforms._transforms_video")
 
     if "ipdb" not in sys.modules:
@@ -77,10 +100,9 @@ def _install_stubs() -> None:
 
         packaging = types.SimpleNamespace(version=types.SimpleNamespace(parse=_Version))
         _module("pkg_resources", packaging=packaging)
-    if "decord" not in sys.modules:
-        _module("decord", VideoReader=_Inert("VideoReader"), bridge=types.SimpleNamespace(set_bridge=lambda *a: None))
-    if "oss2" not in sys.modules:
-        _module("oss2", Auth=_Inert("Auth"), Bucket=_Inert("Bucket"))
+    # NOTE: decord/oss2 are deliberately NOT stubbed — the model tree never
+    # imports them, and a fake sys.modules entry would leak into the
+    # framework's own optional-dependency probes in other tests.
     if "fvcore" not in sys.modules:
         _module("fvcore")
         _module("fvcore.nn", FlopCountAnalysis=_Inert("FlopCountAnalysis"), ActivationCountAnalysis=_Inert("ActivationCountAnalysis"), flop_count=_Inert("flop_count"), activation_count=_Inert("activation_count"))

@@ -91,3 +91,82 @@ def test_mixup_batch():
     sm = smooth_one_hot(labels, 3, smoothing=0.1)
     np.testing.assert_allclose(np.asarray(sm).sum(-1), 1.0, rtol=1e-5)
     assert float(sm[0, 0]) > float(sm[0, 1]) > 0
+
+
+@pytest.fixture()
+def epic_cfg(cls_cfg, tmp_path):
+    """EPIC verb+noun config over synthetic videos (dual-label lists)."""
+    cfg = cls_cfg
+    cfg.TRAIN.DATASET = "Epickitchen100"
+    cfg.TEST.DATASET = "Epickitchen100"
+    cfg.VIDEO.HEAD.NAME = "BaseHeadx2"
+    cfg.VIDEO.HEAD.NUM_CLASSES = [4, 5]
+    rng = np.random.RandomState(1)
+    for split, n in (("train", 16), ("test", 6)):
+        with open(os.path.join(str(tmp_path), f"epickitchen100_{split}_list.txt"), "w") as f:
+            for i in range(n):
+                f.write(f"videos/P{i % 2}/{split}_{i:03d}.mp4 {i % 4} {i % 5}\n")
+    return cfg
+
+
+def test_epic_meter_joint_topk():
+    """EpicKitchenMeter joint top-k semantics (reference meters.py:178-468):
+    a joint hit needs verb AND noun in their own top-k."""
+    from clip_fsar_tpu.utils.meters import EpicKitchenMeter
+
+    m = EpicKitchenMeter(num_videos=2, num_clips=2, num_cls=(3, 4))
+    # video 0: verb 1, noun 2 — both views predict correctly
+    pv = np.eye(3)[[1, 1]]
+    pn = np.eye(4)[[2, 2]]
+    m.update_stats(pv, pn, [1, 1], [2, 2], [0, 1])
+    # video 1: verb right, noun wrong
+    pv = np.eye(3)[[0, 0]]
+    pn = np.eye(4)[[3, 3]]
+    m.update_stats(pv, pn, [0, 0], [1, 1], [2, 3])
+    stats = m.finalize_metrics(ks=(1,))
+    assert stats["top_1_acc_verb"] == 100.0
+    assert stats["top_1_acc_noun"] == 50.0
+    assert stats["top_1_acc_joint"] == 50.0
+    assert stats["top_1_acc_action"] == 50.0
+    preds = m.get_video_preds()
+    assert preds["verb_class"].shape == (2, 3)
+    assert preds["action_class_ind_pred"].shape == (2, 12)
+
+
+def test_epic_train_and_test(epic_cfg):
+    """Dual-head EPIC classification: train an epoch, multi-view test with
+    joint verb x noun metrics, submission JSON."""
+    from clip_fsar_tpu.train.classification import submission_test, test as cls_test, train as cls_train
+
+    cls_train(epic_cfg)
+    stats = cls_test(epic_cfg)
+    for key in ("top_1_acc_verb", "top_1_acc_noun", "top_1_acc_joint", "top_1_acc_action"):
+        assert key in stats
+    sub_stats = submission_test(epic_cfg)
+    assert os.path.exists(os.path.join(epic_cfg.OUTPUT_DIR, "submission.json"))
+    import json
+
+    with open(os.path.join(epic_cfg.OUTPUT_DIR, "submission.json")) as f:
+        blob = json.load(f)
+    assert blob["challenge"] == "action_recognition" and len(blob["results"]) == 6
+
+
+def test_multi_scale_auto_queue(cls_cfg):
+    """AUTOMATIC_MULTI_SCALE_TEST queues a second multi-view test run with
+    dataset-dependent views (reference run.py:50-72)."""
+    from clip_fsar_tpu.runs.run import _run_list
+
+    cls_cfg.TEST.AUTOMATIC_MULTI_SCALE_TEST = True
+    cls_cfg.TEST.ENABLE = True
+    cls_cfg.TRAIN.ENABLE = False
+    runs = _run_list(cls_cfg)
+    names = [n for _, n in runs]
+    assert names == ["test", "test"]
+    ms = runs[1][0]
+    assert ms.TEST.NUM_ENSEMBLE_VIEWS == 10 and ms.TEST.NUM_SPATIAL_CROPS == 1
+    # original cfg untouched (deep copies)
+    assert cls_cfg.TEST.NUM_ENSEMBLE_VIEWS == 2
+
+    cls_cfg.TEST.DATASET = "Epickitchen100"
+    ms2 = _run_list(cls_cfg)[1][0]
+    assert ms2.TEST.NUM_SPATIAL_CROPS == 3

@@ -161,3 +161,30 @@ def test_image_folder_decoder(tmp_path):
     frames = d.read(str(vid), [0, 3, 5])
     assert frames.shape == (3, 32, 40, 3)
     assert frames[1].mean() > frames[0].mean()
+
+
+def test_episode_loader_is_seed_deterministic():
+    """Same seed -> identical first-3 batches, regardless of worker count
+    (per-step seeded RNG + reorder buffer)."""
+    import numpy as np
+    from clip_fsar_tpu.data.loader import build_few_shot_loader
+
+    def checksums(num_workers):
+        cfg = small_cfg()
+        cfg.DATA_LOADER.NUM_WORKERS = num_workers
+        sums = []
+        with build_few_shot_loader(cfg, "train", num_steps=3, episodes_per_step=2) as loader:
+            for batch in loader:
+                sums.append(
+                    (
+                        float(np.asarray(batch.support_images, np.float64).sum()),
+                        np.asarray(batch.support_labels).tolist(),
+                        np.asarray(batch.real_target_labels).tolist(),
+                    )
+                )
+        return sums
+
+    a = checksums(1)
+    b = checksums(4)
+    c = checksums(4)
+    assert a == b == c
