@@ -140,6 +140,27 @@ def main() -> int:
     eps_per_sec_per_chip = eps_per_sec / n_dev
     frames_per_sec = eps_per_sec * frames_per_episode
 
+    # MFU from the compiled HLO's own flop count (not an analytic guess)
+    mfu = None
+    step_gflops = None
+    try:
+        from clip_fsar_tpu.utils.misc import compiled_stats
+
+        if args.eval:
+            stats = compiled_stats(step_fn, variables, batch)
+        else:
+            stats = compiled_stats(train_step, state_box[0], batch, lr, rng_key)
+        step_gflops = stats.get("gflops")
+        if step_gflops:
+            peak_tflops = {"TPU v5 lite": 197.0, "TPU v4": 275.0}.get(
+                getattr(jax.devices()[0], "device_kind", ""), None
+            ) or (197.0 if jax.devices()[0].platform != "cpu" else None)
+            if peak_tflops:
+                achieved_tflops = step_gflops / 1e3 * (args.steps * 1.0) / dt / n_dev
+                mfu = round(achieved_tflops / peak_tflops, 4)
+    except Exception:
+        pass
+
     mode = "eval" if args.eval else "train"
     metric = f"clipfsar_{args.backbone.replace('/', '')}_{mode}_episodes_per_sec_per_chip"
     result = {
@@ -154,6 +175,8 @@ def main() -> int:
             "frames_per_sec": round(frames_per_sec, 1),
             "frames_per_episode": frames_per_episode,
             "backbone": args.backbone,
+            "step_gflops": step_gflops,
+            "mfu": mfu,
             "baseline_note": f"assumed A100 reference {ASSUMED_BASELINE_EPS_PER_SEC} eps/s (no published number)",
         },
     }

@@ -146,7 +146,7 @@ class ClassificationLoader:
     dropped at train, padded at test)."""
 
     def __init__(self, dataset: ClassificationDataset, batch_size: int, shuffle: bool, num_workers: int = 4,
-                 prefetch: int = 2, seed: int = 0, drop_last: bool = True):
+                 prefetch: int = 2, seed: int = 0, drop_last: bool = True, folds: int = 1):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -154,20 +154,25 @@ class ClassificationLoader:
         self.num_workers = max(num_workers, 1)
         self.prefetch = prefetch
         self.seed = seed
+        # MultiFold training (reference utils/sampler.py:12-94): one loader
+        # epoch covers the dataset ``folds`` times (independent shuffles),
+        # so the epoch counter can advance by NUM_FOLDS per loader pass
+        self.folds = max(int(folds), 1)
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
 
     def __len__(self) -> int:
-        n = len(self.ds)
+        n = len(self.ds) * self.folds
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator:
-        order = np.arange(len(self.ds))
         rng = np.random.default_rng(self.seed * 100003 + self._epoch)
         if self.shuffle:
-            order = rng.permutation(len(self.ds))
+            order = np.concatenate([rng.permutation(len(self.ds)) for _ in range(self.folds)])
+        else:
+            order = np.tile(np.arange(len(self.ds)), self.folds)
         batches = [order[i : i + self.batch_size] for i in range(0, len(order), self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches = batches[:-1]
@@ -198,14 +203,26 @@ class ClassificationLoader:
         threads = [threading.Thread(target=worker, args=(w,), daemon=True) for w in range(self.num_workers)]
         for t in threads:
             t.start()
+        # reorder buffer: emit batches in index order — deterministic
+        # iteration, and all multi-view clips of one video stay contiguous
+        # (the property reference MultiSegValDistributedSampler provides,
+        # utils/val_dist_sampler.py:15-103)
         finished = 0
+        pending = {}
+        next_bi = 0
         try:
-            while finished < self.num_workers:
+            while finished < self.num_workers or pending:
+                if next_bi in pending:
+                    yield pending.pop(next_bi)
+                    next_bi += 1
+                    continue
+                if finished == self.num_workers:
+                    break
                 bi, v, l, c = q.get()
                 if bi is None:
                     finished += 1
                     continue
-                yield v, l, c
+                pending[bi] = (v, l, c)
         finally:
             stop.set()
 
@@ -218,4 +235,5 @@ def build_classification_loader(cfg, split: str) -> ClassificationLoader:
         ds, bs, shuffle=(split == "train"), num_workers=int(cfg.DATA_LOADER.get("NUM_WORKERS", 4)),
         prefetch=int(cfg.DATA_LOADER.get("PREFETCH", 2)), seed=int(cfg.get("RANDOM_SEED", 0)),
         drop_last=(split == "train"),
+        folds=int(cfg.TRAIN.get("NUM_FOLDS", 1)) if split == "train" else 1,
     )

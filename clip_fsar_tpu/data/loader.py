@@ -34,3 +34,34 @@ def build_loader(cfg, split: str, **kwargs):
     if cfg.get("TASK_TYPE", "classification") == "few_shot_action":
         return build_few_shot_loader(cfg, split, **kwargs)
     raise NotImplementedError(f"loader for TASK_TYPE={cfg.get('TASK_TYPE')!r} lands with the classification task")
+
+
+# ---------------------------------------------------------------------------
+# collate functions (reference datasets/utils/collate_functions.py:14-21)
+# ---------------------------------------------------------------------------
+
+from clip_fsar_tpu.utils.registry import COLLATE_FN_REGISTRY  # noqa: E402
+
+
+@COLLATE_FN_REGISTRY.register(name="ZeroShotCollate")
+class ZeroShotCollate:
+    """Deduplicate the per-item text-embedding table to one copy per batch
+    (reference collate_functions.py:14-21: every item of a zero-shot batch
+    carries the identical class-text embedding matrix; the collate keeps
+    batch[0]'s).  In this framework text banks are model-level constants,
+    so this mainly serves dict-style batches from custom datasets."""
+
+    def __init__(self, cfg=None):
+        self.cfg = cfg
+
+    def __call__(self, batch: dict) -> dict:
+        import numpy as np
+
+        if isinstance(batch, (list, tuple)):
+            # stack list-of-dicts into a dict-of-arrays (default_collate)
+            keys = batch[0].keys()
+            batch = {k: np.stack([np.asarray(item[k]) for item in batch]) for k in keys}
+        if "text_embedding" in batch:
+            batch = dict(batch)
+            batch["text_embedding"] = np.asarray(batch["text_embedding"])[:1]
+        return batch

@@ -107,6 +107,11 @@ def train_few_shot(cfg) -> Dict[str, float]:
     tx = build_optimizer(cfg, model.variables["params"], name_prefix="head")
     state = build_state(cfg, model, tx)
 
+    if cfg.get("LOG_MODEL_INFO", False):
+        from clip_fsar_tpu.utils.misc import log_model_info
+
+        log_model_info(state.params, label=f"{cfg.VIDEO.HEAD.NAME}/{cfg.VIDEO.HEAD.BACKBONE_NAME}")
+
     ckpt = Checkpointer(cfg.OUTPUT_DIR)
     resumed = auto_resume(cfg, ckpt, state)
     start_iter = 0

@@ -170,3 +170,36 @@ def test_multi_scale_auto_queue(cls_cfg):
     cls_cfg.TEST.DATASET = "Epickitchen100"
     ms2 = _run_list(cls_cfg)[1][0]
     assert ms2.TEST.NUM_SPATIAL_CROPS == 3
+
+
+def test_multifold_loader(cls_cfg):
+    """MultiFold sampler semantics (reference utils/sampler.py:12-94): one
+    loader epoch covers the dataset NUM_FOLDS times with independent
+    shuffles."""
+    from clip_fsar_tpu.data.classification import build_classification_loader
+
+    cls_cfg.TRAIN.NUM_FOLDS = 3
+    cls_cfg.TRAIN.BATCH_SIZE = 4
+    loader = build_classification_loader(cls_cfg, "train")
+    assert len(loader) == 24 * 3 // 4
+    seen = []
+    for _, labels, clip_ids in loader:
+        seen.extend(clip_ids.tolist())
+    # every video appears exactly NUM_FOLDS times
+    counts = np.bincount(np.asarray(seen), minlength=24)
+    assert (counts == 3).all()
+
+
+def test_multiseg_val_contiguity(cls_cfg):
+    """All sliding-window views of one video arrive contiguously at test
+    (the property reference MultiSegValDistributedSampler guarantees
+    per-rank, utils/val_dist_sampler.py:15-103)."""
+    from clip_fsar_tpu.data.classification import build_classification_loader
+
+    loader = build_classification_loader(cls_cfg, "test")
+    ids = []
+    for _, _, clip_ids in loader:
+        ids.extend(int(c) for c in clip_ids if c >= 0)
+    vids = [i // loader.ds._num_clips for i in ids]
+    # video ids are non-decreasing -> views grouped per video
+    assert vids == sorted(vids)
