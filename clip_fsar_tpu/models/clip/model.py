@@ -119,14 +119,14 @@ class MultiheadAttention(nn.Module):
     attention_backend: str = "xla"
 
     @nn.compact
-    def __call__(self, q, k=None, v=None, mask=None):
+    def __call__(self, q, k=None, v=None, mask=None, causal: bool = False):
         k = q if k is None else k
         v = k if v is None else v
         dense = lambda name: nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name=name)
         qh = split_heads(dense("q_proj")(q), self.heads)
         kh = split_heads(dense("k_proj")(k), self.heads)
         vh = split_heads(dense("v_proj")(v), self.heads)
-        out = merge_heads(mha(qh, kh, vh, mask=mask, backend=self.attention_backend))
+        out = merge_heads(mha(qh, kh, vh, mask=mask, backend=self.attention_backend, causal=causal))
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="out_proj")(out)
 
 
@@ -139,11 +139,10 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        mask = causal_mask(x.shape[1]) if self.causal else None
         y = LayerNorm(name="ln_1")(x)
         x = x + MultiheadAttention(
             self.d_model, self.n_head, dtype=self.dtype, attention_backend=self.attention_backend, name="attn"
-        )(y, mask=mask)
+        )(y, causal=self.causal)
         y = LayerNorm(name="ln_2")(x)
         h = nn.Dense(self.d_model * 4, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_c_fc")(y)
         h = quick_gelu(h)

@@ -24,23 +24,27 @@ def mha(
     v: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     backend: str = "xla",
+    causal: bool = False,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over head-split tensors.
 
     q: [B, H, Nq, Dh], k/v: [B, H, Nk, Dh]; mask: additive, broadcastable
-    to [B, H, Nq, Nk] (use -inf for disallowed).  Returns [B, H, Nq, Dh].
-    Softmax is computed in float32 regardless of input dtype (parity with
-    the reference's fp32 torch softmax under autocast-off).
+    to [B, H, Nq, Nk] (use -inf for disallowed).  ``causal`` builds the
+    mask structurally (in-kernel on the pallas path).  Returns
+    [B, H, Nq, Dh].  Softmax is computed in float32 regardless of input
+    dtype (parity with the reference's fp32 torch softmax, autocast-off).
     """
     if backend == "pallas":
         from clip_fsar_tpu.ops.flash_attention import flash_mha
 
-        return flash_mha(q, k, v, mask=mask)
+        return flash_mha(q, k, v, mask=mask, causal=causal)
 
     dtype = q.dtype
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits.astype(jnp.float32) * scale
+    if causal and mask is None:
+        mask = causal_mask(q.shape[2])
     if mask is not None:
         logits = logits + mask.astype(jnp.float32)
     probs = jnn.softmax(logits, axis=-1)

@@ -1,23 +1,27 @@
-"""Fused (flash) attention Pallas kernel for TPU.
+"""Fused (flash) attention for TPU — Pallas forward AND backward kernels.
 
 Online-softmax attention computed block-by-block in VMEM: for each query
-block the kernel streams key/value blocks, maintaining running max and
-normalizer so the full [N, N] probability matrix never materializes in
-HBM.  This is the ``backend="pallas"`` path of
-clip_fsar_tpu.ops.attention.mha — worthwhile for long token sequences
-(ViT-L/14@336px: 577 tokens; video transformers: T*N tokens); for CLIP's
-197-token frames XLA's fused softmax is already near-optimal, so the
-default stays "xla".
+block the kernel streams key/value blocks, maintaining a running max and
+normalizer so the full [Nq, Nk] probability matrix never materializes in
+HBM.  The backward pass is the standard two-kernel FlashAttention-2
+recomputation scheme (dQ kernel over query blocks; dK/dV kernel over key
+blocks) wired up as a ``jax.custom_vjp`` — the op is trainable, so the
+``backend="pallas"`` path serves the flagship CLIP train step, not just
+inference.
 
-Shapes: q [B, H, Nq, D], k/v [B, H, Nk, D].  D and block sizes are padded
-to the TPU lane/sublane tiling (last dim 128; see
-/opt/skills/guides/pallas_guide.md).  Additive masks fall back to XLA.
+Causal masking is computed in-kernel from block indices (used by the CLIP
+text tower); arbitrary additive masks fall back to the XLA path.
+
+Shapes: q [B, H, Nq, D], k/v [B, H, Nk, D].  D and sequence lengths are
+padded to the TPU tiling (last dim 128, block multiples; see
+/opt/skills/guides/pallas_guide.md).  The LSE rows are carried in a
+[BH, Nq, 128] lane-replicated buffer to respect the (sublane, 128) tile.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,23 +29,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
+_LANES = 128
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float, nk: int):
-    """One (batch*head, q-block) program: stream k/v blocks with online
-    softmax."""
+def _causal_mask_block(s, q_start, k_start):
+    """Additive in-kernel causal mask for an [bq, bk] score block."""
+    q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    k_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    return jnp.where(k_ids <= q_ids, 0.0, _NEG_INF)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, scale: float, nk: int, causal: bool, block_q: int):
+    qb = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32) * scale  # [block_q, d]
-    block_q, d = q.shape
     num_kb = pl.cdiv(nk, block_k)
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)  # [block_k, d]
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [block_q, block_k]
-        # mask out padded keys
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk]
         key_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(key_ids < nk, s, _NEG_INF)
+        if causal:
+            s = s + _causal_mask_block(s, qb * block_q, kb * block_k)
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -51,11 +67,82 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float, nk: 
         acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
-    acc = jnp.zeros((block_q, d), jnp.float32)
-    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    d = q.shape[-1]
+    acc = jnp.zeros((q.shape[0], d), jnp.float32)
+    m0 = jnp.full((q.shape[0], 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((q.shape[0], 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    # log-sum-exp per query row, lane-replicated to satisfy the tile
+    lse = m + jnp.log(l_safe)  # [bq, 1]
+    lse_ref[0] = jnp.broadcast_to(lse, (q.shape[0], _LANES)).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, block_k: int, scale: float, nk: int, causal: bool, block_q: int):
+    qb = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)  # [bq, d]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, 0:1]  # [bq, 1]
+    delta = delta_ref[0][:, 0:1]
+    num_kb = pl.cdiv(nk, block_k)
+
+    def body(kb, dq):
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        key_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_ids < nk, s, _NEG_INF)
+        if causal:
+            s = s + _causal_mask_block(s, qb * block_q, kb * block_k)
+        p = jnp.exp(s - lse)  # [bq, bk]
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+
+    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros(q.shape, jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, block_q: int, scale: float, nq: int, causal: bool, block_k: int):
+    kb = pl.program_id(1)
+    k = k_ref[0].astype(jnp.float32)  # [bk, d]
+    v = v_ref[0].astype(jnp.float32)
+    num_qb = pl.cdiv(nq, block_q)
+
+    def body(qb, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qb * block_q, block_q), :][:, 0:1]
+        delta = delta_ref[0, pl.ds(qb * block_q, block_q), :][:, 0:1]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # [bq, bk]
+        q_ids = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(q_ids < nq, s, _NEG_INF)
+        if causal:
+            s = s + _causal_mask_block(s, qb * block_q, kb * block_k)
+        p = jnp.exp(s - lse)  # rows of padded queries have lse=0 but do=0
+        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
+        return dk, dv
+
+    dk0 = jnp.zeros(k.shape, jnp.float32)
+    dv0 = jnp.zeros(v.shape, jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# padding / layout helpers
+# ---------------------------------------------------------------------------
 
 
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
@@ -68,37 +155,30 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def flash_mha(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    mask: Optional[jnp.ndarray] = None,
-    block_q: int = 128,
-    block_k: int = 128,
-) -> jnp.ndarray:
-    """Drop-in for ops.attention.mha on head-split tensors."""
-    if mask is not None:
-        # masked attention (causal text etc.): XLA path
-        from clip_fsar_tpu.ops import attention as _attn
-
-        return _attn.mha(q, k, v, mask=mask, backend="xla")
-
+def _prep(q, k, v, block_q, block_k):
     b, h, nq, d = q.shape
     nk = k.shape[2]
-    scale = d**-0.5
-
-    # pad D to the lane width and N to block multiples
-    qp = _pad_to(_pad_to(q, 3, 128), 2, block_q).reshape(b * h, -1, max(d, 128) if d % 128 else d)
-    kp = _pad_to(_pad_to(k, 3, 128), 2, block_k).reshape(b * h, -1, qp.shape[-1])
-    vp = _pad_to(_pad_to(v, 3, 128), 2, block_k).reshape(b * h, -1, qp.shape[-1])
-    nq_p, nk_p = qp.shape[1], kp.shape[1]
+    qp = _pad_to(_pad_to(q, 3, _LANES), 2, block_q)
+    kp = _pad_to(_pad_to(k, 3, _LANES), 2, block_k)
+    vp = _pad_to(_pad_to(v, 3, _LANES), 2, block_k)
     d_p = qp.shape[-1]
+    qp = qp.reshape(b * h, -1, d_p)
+    kp = kp.reshape(b * h, -1, d_p)
+    vp = vp.reshape(b * h, -1, d_p)
+    return qp, kp, vp, (b, h, nq, nk, d, d_p)
 
-    grid = (b * h, nq_p // block_q)
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, block_k=block_k, scale=scale, nk=nk),
-        out_shape=jax.ShapeDtypeStruct((b * h, nq_p, d_p), q.dtype),
+
+def _fwd_impl(q, k, v, causal: bool, block_q: int, block_k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    qp, kp, vp, (b, h, nq, nk, d, d_p) = _prep(q, k, v, block_q, block_k)
+    bh, nq_p, nk_p = qp.shape[0], qp.shape[1], kp.shape[1]
+    scale = d**-0.5
+    grid = (bh, nq_p // block_q)
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, block_k=block_k, scale=scale, nk=nk, causal=causal, block_q=block_q),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, nq_p, d_p), q.dtype),
+            jax.ShapeDtypeStruct((bh, nq_p, _LANES), jnp.float32),
+        ),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
@@ -106,7 +186,111 @@ def flash_mha(
                 pl.BlockSpec((1, nk_p, d_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, nk_p, d_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, block_q, d_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            out_specs=(
+                pl.BlockSpec((1, block_q, d_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, _LANES), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            ),
         ),
     )(qp, kp, vp)
-    return out.reshape(b, h, nq_p, d_p)[:, :, :nq, :d]
+    out = o.reshape(b, h, nq_p, d_p)[:, :, :nq, :d]
+    return out, lse
+
+
+def _bwd_impl(q, k, v, o, lse, g, causal: bool, block_q: int, block_k: int):
+    qp, kp, vp, (b, h, nq, nk, d, d_p) = _prep(q, k, v, block_q, block_k)
+    gp = _pad_to(_pad_to(g, 3, _LANES), 2, block_q).reshape(qp.shape)
+    bh, nq_p, nk_p = qp.shape[0], qp.shape[1], kp.shape[1]
+    scale = d**-0.5
+
+    # delta_i = sum_d dO_i * O_i (lane-replicated like lse)
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [b, h, nq]
+    delta = _pad_to(delta.reshape(bh, nq), 1, block_q)
+    delta = jnp.broadcast_to(delta[..., None], (bh, nq_p, _LANES))
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, block_k=block_k, scale=scale, nk=nk, causal=causal, block_q=block_q),
+        out_shape=jax.ShapeDtypeStruct((bh, nq_p, d_p), q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(bh, nq_p // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nk_p, d_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nk_p, d_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, d_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, _LANES), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, _LANES), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+    )(qp, kp, vp, gp, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, block_q=block_q, scale=scale, nq=nq, causal=causal, block_k=block_k),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, nk_p, d_p), k.dtype),
+            jax.ShapeDtypeStruct((bh, nk_p, d_p), v.dtype),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(bh, nk_p // block_k),
+            in_specs=[
+                pl.BlockSpec((1, nq_p, d_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, d_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, d_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nq_p, d_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nq_p, _LANES), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nq_p, _LANES), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block_k, d_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, d_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            ),
+        ),
+    )(qp, kp, vp, gp, lse, delta)
+
+    b_, h_ = b, h
+    dq = dq.reshape(b_, h_, nq_p, d_p)[:, :, :nq, :d]
+    dk = dk.reshape(b_, h_, nk_p, d_p)[:, :, :nk, :d]
+    dv = dv.reshape(b_, h_, nk_p, d_p)[:, :, :nk, :d]
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP op + public API
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, causal: bool, block_q: int, block_k: int):
+    return _fwd_impl(q, k, v, causal, block_q, block_k)[0]
+
+
+def _flash_fwd(q, k, v, causal, block_q, block_k):
+    out, lse = _fwd_impl(q, k, v, causal, block_q, block_k)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bwd(causal, block_q, block_k, residuals, g):
+    q, k, v, out, lse = residuals
+    return _bwd_impl(q, k, v, out, lse, g, causal, block_q, block_k)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    block_q: int = 128,
+    block_k: int = 128,
+) -> jnp.ndarray:
+    """Drop-in for ops.attention.mha on head-split tensors; differentiable
+    (custom VJP with Pallas backward kernels).  ``causal`` is handled
+    in-kernel; other additive masks fall back to XLA."""
+    if mask is not None:
+        from clip_fsar_tpu.ops import attention as _attn
+
+        return _attn.mha(q, k, v, mask=mask, backend="xla")
+    return _flash(q, k, v, causal, block_q, block_k)

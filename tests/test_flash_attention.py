@@ -46,3 +46,58 @@ def test_flash_mask_falls_back_to_xla():
     ref = mha(q, q, q, mask=m, backend="xla")
     got = flash_mha(q, q, q, mask=m)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)
+
+
+@pytest.fixture()
+def interp(monkeypatch):
+    """Run pallas kernels in interpret mode on CPU."""
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def wrapper(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", wrapper)
+    yield
+
+
+def test_flash_causal_in_kernel(interp):
+    """Causal masking computed from block indices inside the kernel must
+    match the XLA additive-mask path (the CLIP text tower's pattern)."""
+    from clip_fsar_tpu.ops.flash_attention import flash_mha
+
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(2, 2, 77, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 2, 77, 64).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 2, 77, 64).astype(np.float32))
+    ref = mha(q, k, v, mask=causal_mask(77), backend="xla")
+    got = flash_mha(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_gradients_match_xla(interp, causal):
+    """The custom-VJP backward kernels must match XLA autodiff gradients —
+    this is what makes backend='pallas' usable in the train step."""
+    from clip_fsar_tpu.ops.flash_attention import flash_mha
+
+    rng = np.random.RandomState(3)
+    shape = (1, 2, 150, 32)  # non-multiple of the 128 block: padding path
+    q = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    k = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    v = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    w = jnp.asarray(rng.randn(*shape).astype(np.float32))  # cotangent seed
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_mha(q, k, v, causal=causal) * w)
+
+    def loss_xla(q, k, v):
+        m = causal_mask(shape[2]) if causal else None
+        return jnp.sum(mha(q, k, v, mask=m, backend="xla") * w)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for gf, gx, name in zip(g_flash, g_xla, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=2e-3, atol=2e-4, err_msg=f"d{name}")
