@@ -106,17 +106,11 @@ class ClassificationDataset:
         return frames, label, index
 
     def _transform(self, frames: np.ndarray, rng, spatial_idx: int, spatial_crops: int) -> np.ndarray:
-        cfg = self.cfg
+        from clip_fsar_tpu.data.transforms import test_transform, train_transform
+
         if self.split == "train":
-            lo, hi = int(cfg.DATA.TRAIN_JITTER_SCALES[0]), int(cfg.DATA.TRAIN_JITTER_SCALES[1])
-            short = lo if lo == hi else int(rng.integers(lo, hi + 1))
-            frames = horizontal_flip(frames, rng)
-            frames = resize_short_side(frames, short)
-            return random_crop(frames, int(cfg.DATA.TRAIN_CROP_SIZE), rng)
-        scale = cfg.DATA.TEST_SCALE
-        short = int(scale[0]) if isinstance(scale, (list, tuple)) else int(scale)
-        frames = resize_short_side(frames, short)
-        return controlled_crop(frames, int(cfg.DATA.TEST_CROP_SIZE), spatial_idx, spatial_crops)
+            return train_transform(frames, self.cfg, rng)
+        return test_transform(frames, self.cfg, spatial_idx)
 
 
 def _register(name: str, list_fmt: str, template: str):

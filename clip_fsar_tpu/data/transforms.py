@@ -66,21 +66,81 @@ def horizontal_flip(frames: np.ndarray, rng: np.random.Generator, p: float = 0.5
     return frames
 
 
+def _short_side_dims(h: int, w: int, short: int):
+    if h <= w:
+        return short, int(round(w * short / h))
+    return int(round(h * short / w)), short
+
+
+def _fixed_point_taps(src: int, dst: int, begin: int, count: int):
+    """Bilinear taps with 8-bit fixed-point weights — the exact math of
+    the native kernel (clip_fsar_tpu/native/frameops.cpp)."""
+    s = (np.arange(begin, begin + count, dtype=np.float64) + 0.5) * (src / dst) - 0.5
+    s = np.maximum(s, 0.0)
+    lo = np.minimum(s.astype(np.int64), src - 1)
+    hi = np.minimum(lo + 1, src - 1)
+    w = np.floor((s - lo) * 256.0 + 0.5).astype(np.int64)
+    return lo, hi, w
+
+
+def _np_resize_crop_flip(frames: np.ndarray, nh: int, nw: int, y: int, x: int, size: int, flip: bool) -> np.ndarray:
+    """Pure-numpy replica of the native fixed-point kernel — pixel-
+    identical output, used when the C++ toolchain is unavailable so data
+    pipelines stay deterministic across environments."""
+    t, h, w, _ = frames.shape
+    ylo, yhi, wy = _fixed_point_taps(h, nh, y, size)
+    xlo, xhi, wx = _fixed_point_taps(w, nw, x, size)
+    f = frames.astype(np.int64)
+    # horizontal pass (value * 256)
+    row = f[:, :, xlo] * (256 - wx)[None, None, :, None] + f[:, :, xhi] * wx[None, None, :, None]
+    # vertical blend (value * 256 * 256) with the kernel's rounding
+    v = row[:, ylo] * (256 - wy)[None, :, None, None] + row[:, yhi] * wy[None, :, None, None]
+    out = ((v + (1 << 15)) >> 16).astype(np.uint8)
+    return np.ascontiguousarray(out[:, :, ::-1]) if flip else out
+
+
+def _fused_resize_crop(frames: np.ndarray, nh: int, nw: int, y: int, x: int, size: int, flip: bool) -> np.ndarray:
+    """Resize to (nh, nw), crop [size, size] at (y, x), flip the crop —
+    one native C++ pass when available (only cropped pixels computed;
+    within +/-1 LSB of cv2 INTER_LINEAR), numpy fixed-point replica
+    otherwise (pixel-identical to the native kernel)."""
+    from clip_fsar_tpu.native import frameops
+
+    if frameops.available():
+        return frameops.resize_crop_flip(frames, nh, nw, y, x, size, size, flip)
+    return _np_resize_crop_flip(frames, nh, nw, y, x, size, flip)
+
+
 def train_transform(frames: np.ndarray, cfg, rng: np.random.Generator) -> np.ndarray:
-    """uint8 [T,H,W,3] -> uint8 [T,crop,crop,3] (train augmentation)."""
+    """uint8 [T,H,W,3] -> uint8 [T,crop,crop,3] (train augmentation):
+    short-side jitter resize + random crop + horizontal flip, fused."""
     lo, hi = int(cfg.DATA.TRAIN_JITTER_SCALES[0]), int(cfg.DATA.TRAIN_JITTER_SCALES[1])
     short = lo if lo == hi else int(rng.integers(lo, hi + 1))
-    frames = horizontal_flip(frames, rng)
-    frames = resize_short_side(frames, short)
-    return random_crop(frames, int(cfg.DATA.TRAIN_CROP_SIZE), rng)
+    flip = bool(rng.random() < 0.5)
+    size = int(cfg.DATA.TRAIN_CROP_SIZE)
+    t, h, w, _ = frames.shape
+    nh, nw = _short_side_dims(h, w, short)
+    y = int(rng.integers(0, nh - size + 1))
+    x = int(rng.integers(0, nw - size + 1))
+    return _fused_resize_crop(frames, nh, nw, y, x, size, flip)
 
 
 def test_transform(frames: np.ndarray, cfg, spatial_idx: int = -1) -> np.ndarray:
     scale = cfg.DATA.TEST_SCALE
     short = int(scale[0]) if isinstance(scale, (list, tuple)) else int(scale)
-    frames = resize_short_side(frames, short)
+    size = int(cfg.DATA.TEST_CROP_SIZE)
     num_crops = int(cfg.TEST.get("NUM_SPATIAL_CROPS", 1))
-    return controlled_crop(frames, int(cfg.DATA.TEST_CROP_SIZE), spatial_idx, num_crops)
+    t, h, w, _ = frames.shape
+    nh, nw = _short_side_dims(h, w, short)
+    if num_crops == 1 or spatial_idx == -1:
+        y, x = (nh - size) // 2, (nw - size) // 2
+    else:
+        frac = spatial_idx / max(num_crops - 1, 1)
+        if nh >= nw:
+            y, x = int((nh - size) * frac), (nw - size) // 2
+        else:
+            y, x = (nh - size) // 2, int((nw - size) * frac)
+    return _fused_resize_crop(frames, nh, nw, y, x, size, flip=False)
 
 
 def normalize_images(images, mean: Sequence[float], std: Sequence[float]):
