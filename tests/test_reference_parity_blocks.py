@@ -1,0 +1,250 @@
+"""Reference-parity for the shared episodic building blocks: identical
+weights into the reference torch modules and our flax modules must give
+identical outputs.
+
+Oracles (reference models/base/few_shot.py):
+  * MultiHeadAttention (:1594-1640)        -> heads.common.ResidualMHA
+  * PreNormattention + Attention (:1024-1113) -> heads.common.PreNormSelfAttention
+  * PositionalEncoder (:1658-1685)         -> heads.common.hyrsm_positional_table
+  * PositionalEncoding (:1204-1223)        -> heads.common.trx_positional_table
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from reference_oracle import import_reference_few_shot, zero_dropout
+
+from clip_fsar_tpu.models.heads.common import (
+    PreNormSelfAttention,
+    ResidualMHA,
+    hyrsm_positional_table,
+    trx_positional_table,
+)
+
+fs = import_reference_few_shot()
+
+
+def _t(x):
+    return torch.from_numpy(np.asarray(x))
+
+
+def test_residual_mha_matches_reference():
+    n_head, d_model = 2, 16
+    d_k = d_v = d_model // n_head
+    torch.manual_seed(0)
+    ref = fs.MultiHeadAttention(n_head, d_model, d_k, d_v, dropout=0.05).float()
+    zero_dropout(ref)
+    ref.eval()
+
+    rng = np.random.RandomState(0)
+    q = rng.randn(3, 5, d_model).astype(np.float32)
+    kv = rng.randn(3, 7, d_model).astype(np.float32)
+    with torch.no_grad():
+        want = ref(_t(q), _t(kv), _t(kv)).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "w_qs": {"kernel": sd["w_qs.weight"].T},
+        "w_ks": {"kernel": sd["w_ks.weight"].T},
+        "w_vs": {"kernel": sd["w_vs.weight"].T},
+        "fc": {"kernel": sd["fc.weight"].T, "bias": sd["fc.bias"]},
+        "layer_norm": {"scale": sd["layer_norm.weight"], "bias": sd["layer_norm.bias"]},
+    }
+    ours = ResidualMHA(n_head=n_head, d_model=d_model, d_k=d_k, d_v=d_v, dropout=0.05)
+    got = ours.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)}, jnp.asarray(q), jnp.asarray(kv), jnp.asarray(kv), deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_prenorm_self_attention_matches_reference():
+    dim, heads, dim_head = 16, 2, 8
+    torch.manual_seed(1)
+    ref = fs.PreNormattention(dim, fs.Attention(dim, heads=heads, dim_head=dim_head, dropout=0.2)).float()
+    zero_dropout(ref)
+    ref.eval()
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 6, dim).astype(np.float32)
+    with torch.no_grad():
+        want = ref(_t(x)).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "norm": {"scale": sd["norm.weight"], "bias": sd["norm.bias"]},
+        "to_qkv": {"kernel": sd["fn.to_qkv.weight"].T},
+        "to_out": {"kernel": sd["fn.to_out.0.weight"].T, "bias": sd["fn.to_out.0.bias"]},
+    }
+    ours = PreNormSelfAttention(dim=dim, heads=heads, dim_head=dim_head, dropout=0.2)
+    got = ours.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)}, jnp.asarray(x), deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_hyrsm_positional_encoder_matches_reference():
+    d_model, max_len = 8, 12
+    ref = fs.PositionalEncoder(d_model=d_model, max_seq_len=max_len, dropout=0.1, A_scale=10.0, B_scale=1.0).float()
+    zero_dropout(ref)
+    ref.eval()
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 5, d_model).astype(np.float32)
+    with torch.no_grad():
+        want = ref(_t(x)).numpy()
+
+    table = hyrsm_positional_table(max_len, d_model)
+    got = np.asarray(x) * np.sqrt(d_model / 10.0) + 1.0 * table[:5]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_trx_positional_encoding_matches_reference():
+    d_model, max_len = 8, 10
+    ref = fs.PositionalEncoding(d_model=d_model, dropout=0.1, max_len=max_len).float()
+    zero_dropout(ref)
+    ref.eval()
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 6, d_model).astype(np.float32)
+    with torch.no_grad():
+        want = ref(_t(x)).numpy()
+    table = trx_positional_table(max_len, d_model)
+    got = np.asarray(x) + table[None, :6]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_cos_sim_matches_reference():
+    rng = np.random.RandomState(4)
+    a = rng.randn(5, 7).astype(np.float32)
+    b = rng.randn(9, 7).astype(np.float32)
+    want = fs.cos_sim(_t(a), _t(b)).numpy()
+    from clip_fsar_tpu.models.heads.common import cos_sim
+
+    got = np.asarray(cos_sim(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_tada_conv_matches_reference():
+    """TAdaConv2d folded-calibration redesign: conv(x * alpha, W) must
+    equal the reference's per-(b,t) weight-calibrated grouped conv
+    (tada_branch.py:66-145), with RouteFuncMLP supplying alpha
+    (:15-63)."""
+    import models.module_zoo.branches.tada_branch as tb
+
+    from clip_fsar_tpu.models.video import branches as vb
+
+    c_in, c_out, ratio, kernels = 8, 12, 2, (3, 3)
+    torch.manual_seed(2)
+    ref_route = tb.RouteFuncMLP(c_in=c_in, ratio=ratio, kernels=list(kernels)).float()
+    ref_conv = tb.TAdaConv2d(c_in, c_out, kernel_size=[1, 3, 3], stride=[1, 1, 1], padding=[0, 1, 1], bias=False).float()
+    # randomize the zero-initialized final routing conv so alpha != 1
+    torch.nn.init.normal_(ref_route.b.weight, std=0.5)
+    ref_route.eval()
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, c_in, 4, 6, 6).astype(np.float32)  # [B, C, T, H, W]
+    with torch.no_grad():
+        alpha_ref = ref_route(_t(x))
+        want = ref_conv(_t(x), alpha_ref).numpy()  # [B, C_out, T, H, W]
+
+    # transplant RouteFuncMLP
+    sd = {k: v.detach().numpy() for k, v in ref_route.state_dict().items()}
+
+    def tconv(w):  # torch [O, I, D, H, W] -> flax [D, H, W, I, O]
+        return w.transpose(2, 3, 4, 1, 0)
+
+    route_params = {
+        "g": {"kernel": tconv(sd["g.weight"]), "bias": sd["g.bias"]},
+        "a": {"kernel": tconv(sd["a.weight"]), "bias": sd["a.bias"]},
+        "b": {"kernel": tconv(sd["b.weight"])},
+        "bn": {"BatchNorm_0": {"scale": sd["bn.weight"], "bias": sd["bn.bias"]}},
+    }
+    route_stats = {"bn": {"BatchNorm_0": {"mean": sd["bn.running_mean"], "var": sd["bn.running_var"]}}}
+    ours_route = vb.RouteFuncMLP(c_in=c_in, ratio=ratio, kernels=kernels)
+    x_ours = jnp.asarray(x.transpose(0, 2, 3, 4, 1))  # [B, T, H, W, C]
+    alpha = ours_route.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, route_params), "batch_stats": jax.tree_util.tree_map(jnp.asarray, route_stats)},
+        x_ours,
+    )
+    np.testing.assert_allclose(
+        np.asarray(alpha), alpha_ref.numpy()[:, :, :, 0, 0].transpose(0, 2, 1), rtol=1e-5, atol=1e-5
+    )
+
+    # transplant TAdaConv2d base weight: torch [1, 1, O, I, kh, kw]
+    w = ref_conv.weight.detach().numpy()[0, 0]  # [O, I, kh, kw]
+    conv_params = {"conv": {"kernel": w.transpose(2, 3, 1, 0)[None]}}  # [1, kh, kw, I, O]
+    ours_conv = vb.TAdaConv2d(out_channels=c_out, kernel=(3, 3))
+    got = ours_conv.apply({"params": jax.tree_util.tree_map(jnp.asarray, conv_params)}, x_ours, alpha)
+    np.testing.assert_allclose(
+        np.asarray(got), want.transpose(0, 2, 3, 4, 1), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_bmn_head_matches_reference():
+    """The boundary-matching-as-matmul BMN head must match the reference
+    BaseBMN (bmn_head.py:20-195) map-for-map with transplanted weights."""
+    import models.module_zoo.heads.bmn_head as bh
+
+    from reference_oracle import NS
+
+    from clip_fsar_tpu.models.heads.bmn import BaseBMN as OurBMN
+
+    tscale, dscale, num_sample, perbin = 8, 8, 4, 2
+    d1, d2, d3 = 8, 6, 5
+    ref_cfg = NS(
+        DATA=NS(TEMPORAL_SCALE=tscale, DURATION_SCALE=0),
+        VIDEO=NS(
+            DIM1D=d1, DIM2D=d2, DIM3D=d3,
+            HEAD=NS(NUM_SAMPLE=num_sample, NUM_SAMPLE_PERBIN=perbin, BOUNDARY_RATIO=0.5,
+                    USE_BMN_REGRESSION=True, NUM_CLASSES=[3, 4]),
+        ),
+    )
+    torch.manual_seed(3)
+    ref = bh.BaseBMN(ref_cfg).float().eval()
+
+    rng = np.random.RandomState(6)
+    feats = rng.randn(2, d1, tscale).astype(np.float32)  # [B, C, T]
+    with torch.no_grad():
+        want, _ = ref({"video": _t(feats)})
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    def c1(w):  # torch conv1d [O, I/g, k] -> flax [k, I/g, O]
+        return w.transpose(2, 1, 0)
+
+    def c2(w):  # torch conv2d [O, I, kh, kw] -> flax [kh, kw, I, O]
+        return w.transpose(2, 3, 1, 0)
+
+    def c3(w):  # torch conv3d [O, I, d, h, w] -> flax [d, h, w, I, O]
+        return w.transpose(2, 3, 4, 1, 0)
+
+    params = {
+        "x_1d_s_conv1": {"kernel": c1(sd["x_1d_s.0.weight"]), "bias": sd["x_1d_s.0.bias"]},
+        "x_1d_s_conv2": {"kernel": c1(sd["x_1d_s.2.weight"]), "bias": sd["x_1d_s.2.bias"]},
+        "x_1d_e_conv1": {"kernel": c1(sd["x_1d_e.0.weight"]), "bias": sd["x_1d_e.0.bias"]},
+        "x_1d_e_conv2": {"kernel": c1(sd["x_1d_e.2.weight"]), "bias": sd["x_1d_e.2.bias"]},
+        "x_1d_p_conv": {"kernel": c1(sd["x_1d_p.0.weight"]), "bias": sd["x_1d_p.0.bias"]},
+        "x_3d_p": {"kernel": c3(sd["x_3d_p.0.weight"]), "bias": sd["x_3d_p.0.bias"]},
+    }
+    for ours_tag, ref_tag in (("x_2d_p", "x_2d_p"), ("x_2d_r", "x_2d_r"), ("x_2d_verb", "x_2d_verb"), ("x_2d_noun", "x_2d_noun")):
+        for i, j in ((1, 0), (2, 2), (3, 4), (4, 6)):
+            params[f"{ours_tag}_conv{i}"] = {
+                "kernel": c2(sd[f"{ref_tag}.{j}.weight"]), "bias": sd[f"{ref_tag}.{j}.bias"],
+            }
+
+    from clip_fsar_tpu.config import Config
+
+    our_cfg = Config({
+        "DATA": {"TEMPORAL_SCALE": tscale, "DURATION_SCALE": 0},
+        "VIDEO": {"DIM1D": d1, "DIM2D": d2, "DIM3D": d3,
+                  "HEAD": {"NUM_SAMPLE": num_sample, "NUM_SAMPLE_PERBIN": perbin, "BOUNDARY_RATIO": 0.5,
+                           "USE_BMN_REGRESSION": True, "NUM_CLASSES": [3, 4]}},
+    })
+    ours = OurBMN(cfg=our_cfg)
+    got, _ = ours.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)}, jnp.asarray(feats.transpose(0, 2, 1)), train=False)
+
+    np.testing.assert_allclose(np.asarray(got["start"]), want["start"].numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["end"]), want["end"].numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["confidence_map"]), want["confidence_map"].numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["reg_map"]), want["reg_map"].numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["verb_map"]), want["verb_map"].numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["noun_map"]), want["noun_map"].numpy(), rtol=1e-4, atol=1e-5)
