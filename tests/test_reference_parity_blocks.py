@@ -248,3 +248,85 @@ def test_bmn_head_matches_reference():
     np.testing.assert_allclose(np.asarray(got["reg_map"]), want["reg_map"].numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got["verb_map"]), want["verb_map"].numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got["noun_map"]), want["noun_map"].numpy(), rtol=1e-4, atol=1e-5)
+
+
+def _xfer_video_attn(sd, prefix):
+    return {
+        "to_qkv": {"kernel": sd[f"{prefix}.to_qkv.weight"].T, "bias": sd[f"{prefix}.to_qkv.bias"]},
+        "proj": {"kernel": sd[f"{prefix}.proj.weight"].T, "bias": sd[f"{prefix}.proj.bias"]},
+    }
+
+
+def _xfer_ffn(sd, prefix):
+    return {
+        "fc1": {"kernel": sd[f"{prefix}.net.0.weight"].T, "bias": sd[f"{prefix}.net.0.bias"]},
+        "fc2": {"kernel": sd[f"{prefix}.net.3.weight"].T, "bias": sd[f"{prefix}.net.3.bias"]},
+    }
+
+
+def _xfer_ln(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def test_timesformer_layer_matches_reference():
+    """Divided space-time attention (reference transformer.py:101-220):
+    temporal then spatial partial attention with the cls token attending
+    globally and joining every group."""
+    import models.base.transformer as rt
+
+    from reference_oracle import NS
+
+    from clip_fsar_tpu.config import Config
+    from clip_fsar_tpu.models.video.transformer import BaseTransformerLayer, TimesformerLayer
+
+    t_frames, patches_side, dim, heads = 3, 2, 16, 2
+    n = patches_side**2
+    ref_cfg = NS(
+        DATA=NS(TRAIN_CROP_SIZE=patches_side * 4, NUM_INPUT_FRAMES=t_frames),
+        VIDEO=NS(BACKBONE=NS(NUM_FEATURES=dim, NUM_HEADS=heads, ATTN_DROPOUT=0.1, FF_DROPOUT=0.1, PATCH_SIZE=4, MLP_MULT=4)),
+    )
+    torch.manual_seed(4)
+    ref = rt.TimesformerLayer(ref_cfg).float()
+    zero_dropout(ref)
+    ref.eval()
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 1 + t_frames * n, dim).astype(np.float32)
+    with torch.no_grad():
+        want = ref(_t(x)).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "norm_temporal": _xfer_ln(sd, "norm_temporal"),
+        "attn_temporal": _xfer_video_attn(sd, "attn_temporal"),
+        "norm": _xfer_ln(sd, "norm"),
+        "attn": _xfer_video_attn(sd, "attn"),
+        "norm_ffn": _xfer_ln(sd, "norm_ffn"),
+        "ffn": _xfer_ffn(sd, "ffn"),
+    }
+    our_cfg = Config({
+        "DATA": {"TRAIN_CROP_SIZE": patches_side * 4, "NUM_INPUT_FRAMES": t_frames},
+        "VIDEO": {"BACKBONE": {"NUM_FEATURES": dim, "NUM_HEADS": heads, "ATTN_DROPOUT": 0.1,
+                               "FF_DROPOUT": 0.1, "PATCH_SIZE": 4, "MLP_MULT": 4}},
+    })
+    ours = TimesformerLayer(cfg=our_cfg)
+    got = ours.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)}, jnp.asarray(x), deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+    # plain joint space-time layer (BaseTransformerLayer, :146-177)
+    torch.manual_seed(5)
+    ref2 = rt.BaseTransformerLayer(ref_cfg).float()
+    zero_dropout(ref2)
+    ref2.eval()
+    with torch.no_grad():
+        want2 = ref2(_t(x)).numpy()
+    sd2 = {k: v.detach().numpy() for k, v in ref2.state_dict().items()}
+    params2 = {
+        "norm": _xfer_ln(sd2, "norm"),
+        "attn": _xfer_video_attn(sd2, "attn"),
+        "norm_ffn": _xfer_ln(sd2, "norm_ffn"),
+        "ffn": _xfer_ffn(sd2, "ffn"),
+    }
+    ours2 = BaseTransformerLayer(cfg=our_cfg)
+    got2 = ours2.apply({"params": jax.tree_util.tree_map(jnp.asarray, params2)}, jnp.asarray(x), deterministic=True)
+    np.testing.assert_allclose(np.asarray(got2), want2, rtol=1e-4, atol=1e-5)
