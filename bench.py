@@ -125,8 +125,28 @@ def main() -> int:
             jax.block_until_ready(new_state.params["scale"])
             state_box[0] = new_state
 
-    # warmup (compile)
-    for _ in range(2):
+    # warmup (compile); fall back to fewer episodes per step on OOM so the
+    # unattended end-of-round bench always produces a number
+    try:
+        run_once()
+    except Exception as e:
+        if "RESOURCE_EXHAUSTED" not in str(e) or episodes <= n_dev:
+            raise
+        sys.stderr.write(f"OOM at {episodes} episodes/step — retrying at {n_dev}\n")
+        argv, skip = [sys.argv[0]], False
+        for a in sys.argv[1:]:
+            if skip:
+                skip = False
+                continue
+            if a == "--episodes":
+                skip = True
+                continue
+            if a.startswith("--episodes="):
+                continue
+            argv.append(a)
+        sys.argv = argv + ["--episodes", str(n_dev)]
+        return main()
+    for _ in range(1):
         run_once()
     if args.profile:
         with jax.profiler.trace(args.profile):
