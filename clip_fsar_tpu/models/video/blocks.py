@@ -79,10 +79,13 @@ def resolve_block_params(cfg, stage_id: int, block_id: int) -> BlockParams:
 
 def conv3d(features: int, kernel: Sequence[int], stride: Sequence[int] = (1, 1, 1), bias: bool = False,
            groups: int = 1, dtype=jnp.float32, name: Optional[str] = None) -> nn.Conv:
+    from clip_fsar_tpu.models.init import msra_fill
+
     pad = [(k // 2, k // 2) for k in kernel]
     return nn.Conv(
         features, tuple(kernel), strides=tuple(stride), padding=pad, use_bias=bias,
         feature_group_count=groups, dtype=dtype, param_dtype=jnp.float32, name=name,
+        kernel_init=msra_fill,  # c2_msra_fill parity (init_helper.py:112-144)
     )
 
 
@@ -241,7 +244,9 @@ class BaseHead(nn.Module):
         num_classes = int(h.NUM_CLASSES)
         x = x.mean(axis=(1, 2, 3))  # [B, C]
         x = nn.Dropout(float(h.get("DROPOUT_RATE", 0) or 0), deterministic=not train)(x)
-        logits = nn.Dense(num_classes, dtype=jnp.float32, param_dtype=jnp.float32, name="out")(x.astype(jnp.float32))
+        from clip_fsar_tpu.models.init import fc_init
+
+        logits = nn.Dense(num_classes, dtype=jnp.float32, param_dtype=jnp.float32, kernel_init=fc_init(), name="out")(x.astype(jnp.float32))
         if not train:
             act = h.get("ACTIVATION", "softmax")
             if act == "softmax":
@@ -266,8 +271,10 @@ class BaseHeadx2(nn.Module):
         x = x.mean(axis=(1, 2, 3))
         x = nn.Dropout(float(h.get("DROPOUT_RATE", 0) or 0), deterministic=not train)(x)
         x32 = x.astype(jnp.float32)
-        a = nn.Dense(n1, dtype=jnp.float32, param_dtype=jnp.float32, name="out1")(x32)
-        b = nn.Dense(n2, dtype=jnp.float32, param_dtype=jnp.float32, name="out2")(x32)
+        from clip_fsar_tpu.models.init import fc_init
+
+        a = nn.Dense(n1, dtype=jnp.float32, param_dtype=jnp.float32, kernel_init=fc_init(), name="out1")(x32)
+        b = nn.Dense(n2, dtype=jnp.float32, param_dtype=jnp.float32, kernel_init=fc_init(), name="out2")(x32)
         if not train and h.get("ACTIVATION", "softmax") == "softmax":
             a, b = nn.softmax(a, -1), nn.softmax(b, -1)
         return (a, b), x

@@ -103,3 +103,24 @@ def test_train_mode_logits_are_raw():
     logits, _ = model.apply(variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
     s = float(np.asarray(logits).sum(-1))
     assert abs(s - 1.0) > 1e-3 or logits.shape[-1] == 1  # not softmaxed at train
+
+
+def test_init_parity_msra_and_fc():
+    """conv3d kernels follow c2_msra_fill (std = sqrt(2/fan_out),
+    reference init_helper.py:112-122); classifier FCs use normal(0.01)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from clip_fsar_tpu.models.video.blocks import conv3d
+
+    conv = conv3d(64, (3, 3, 3), name="c")
+    params = conv.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 8, 8, 16)))["params"]
+    k = np.asarray(params["kernel"])
+    fan_out = 64 * 3 * 3 * 3
+    expected = np.sqrt(2.0 / fan_out)
+    assert abs(k.std() - expected) / expected < 0.1
+
+    from clip_fsar_tpu.models.init import fc_init
+
+    w = np.asarray(fc_init()(jax.random.PRNGKey(0), (256, 100), jnp.float32))
+    assert abs(w.std() - 0.01) / 0.01 < 0.1
