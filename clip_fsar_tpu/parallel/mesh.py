@@ -23,15 +23,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def build_mesh(cfg=None, devices=None) -> Mesh:
+    """1-D ``data`` mesh by default; set ``TPU.MESH.MODEL > 1`` for a 2-D
+    (data, model) mesh — the model axis tensor-shards the CLIP tower
+    (see ``sharding_rules``) as scaling headroom beyond the reference's
+    data-parallel-only design (SURVEY.md §2.3)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    if cfg is not None and "TPU" in cfg:
-        want = int(cfg.TPU.get("MESH", {}).get("DATA", -1) if hasattr(cfg.TPU.get("MESH", {}), "get") else -1)
-        if want > 0:
-            if want > n:
-                raise ValueError(f"TPU.MESH.DATA={want} but only {n} devices present")
-            devices = devices[:want]
-            n = want
+    mesh_cfg = cfg.TPU.get("MESH", {}) if (cfg is not None and "TPU" in cfg) else {}
+    get = mesh_cfg.get if hasattr(mesh_cfg, "get") else (lambda *_: -1)
+    model = int(get("MODEL", 1) or 1)
+    want = int(get("DATA", -1) or -1)
+    if model > 1:
+        if n % model:
+            raise ValueError(f"TPU.MESH.MODEL={model} must divide the device count {n}")
+        data = want if want > 0 else n // model
+        if data * model > n:
+            raise ValueError(f"mesh {data}x{model} needs {data * model} devices, have {n}")
+        arr = np.asarray(devices[: data * model]).reshape(data, model)
+        return Mesh(arr, ("data", "model"))
+    if want > 0:
+        if want > n:
+            raise ValueError(f"TPU.MESH.DATA={want} but only {n} devices present")
+        devices = devices[:want]
     return Mesh(np.asarray(devices), ("data",))
 
 
@@ -52,6 +65,51 @@ def shard_batch(batch, mesh: Mesh):
 
 def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel param placement (optional 'model' mesh axis)
+# ---------------------------------------------------------------------------
+
+
+def _tp_spec_for(path_parts, shape) -> P:
+    """Megatron-style sharding of transformer blocks: column-parallel
+    qkv/c_fc (output dim over 'model'), row-parallel out_proj/c_proj
+    (input dim over 'model'); everything else replicated.  GSPMD inserts
+    the all-reduce after each row-parallel matmul over ICI."""
+    parts = [p.lower() for p in path_parts]
+    leaf = parts[-1]
+    module = parts[-2] if len(parts) >= 2 else ""
+    col = module in ("q_proj", "k_proj", "v_proj", "mlp_c_fc", "to_q", "to_k", "to_v", "fc1", "to_qkv")
+    row = module in ("out_proj", "mlp_c_proj", "to_out", "fc2", "proj")
+    if leaf == "kernel" and len(shape) == 2:
+        if col:
+            return P(None, "model")
+        if row:
+            return P("model", None)
+    if leaf == "bias" and col and len(shape) == 1:
+        return P("model")
+    return P()
+
+
+def shard_params(tree, mesh: Mesh):
+    """Place a param/state pytree on the mesh: tensor-sharded transformer
+    matmuls over the 'model' axis when present, replicated otherwise."""
+    if "model" not in mesh.axis_names:
+        return replicate(tree, mesh)
+
+    def place(path, x):
+        parts = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
+        spec = _tp_spec_for(parts, getattr(x, "shape", ()))
+        # shard only when the dimension divides evenly; replicate otherwise
+        ax_size = mesh.shape["model"]
+        for dim, name in enumerate(spec):
+            if name == "model" and x.shape[dim] % ax_size:
+                spec = P()
+                break
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, tree)
 
 
 def check_batch_divisible(episodes_per_step: int, mesh: Mesh) -> None:

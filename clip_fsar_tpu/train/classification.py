@@ -20,7 +20,7 @@ from clip_fsar_tpu.data.classification import build_classification_loader
 from clip_fsar_tpu.data.mixup import mixup_batch, smooth_one_hot
 from clip_fsar_tpu.data.transforms import normalize_images
 from clip_fsar_tpu.models.video.model import build_video_model
-from clip_fsar_tpu.parallel.mesh import build_mesh, data_sharding, replicate
+from clip_fsar_tpu.parallel.mesh import build_mesh, data_sharding, replicate, shard_params
 from clip_fsar_tpu.train.checkpoint import Checkpointer, auto_resume
 from clip_fsar_tpu.train.optimizer import apply_lr, build_optimizer, get_lr_at_epoch
 from clip_fsar_tpu.train.state import TrainState
@@ -155,7 +155,7 @@ def train(cfg) -> Dict[str, float]:
             state = state.replace(params=loaded_vars["params"], batch_stats=loaded_vars.get("batch_stats"))
             if state.ema_params is not None:
                 state = state.replace(ema_params=loaded_vars["params"])
-    state = replicate(state, mesh)
+    state = shard_params(state, mesh)
     sh = data_sharding(mesh)
 
     train_step = jax.jit(make_classification_train_step(model, tx, cfg), donate_argnums=0)
@@ -201,7 +201,7 @@ def _dual_head(cfg) -> bool:
 
 def _eval_epoch(cfg, model, variables, eval_step, mesh) -> Dict[str, float]:
     sh = data_sharding(mesh)
-    variables = replicate(variables, mesh)
+    variables = shard_params(variables, mesh)
     loader = build_classification_loader(cfg, "test")
     dual = _dual_head(cfg)
     correct = total = 0
@@ -238,7 +238,7 @@ def test(cfg) -> Dict[str, float]:
     loader = build_classification_loader(cfg, "test")
     num_clips = loader.ds._num_clips
     sh = data_sharding(mesh)
-    variables = replicate(variables, mesh)
+    variables = shard_params(variables, mesh)
 
     if _dual_head(cfg):
         # EPIC verb+noun multi-view protocol (reference runs/test.py +
@@ -294,7 +294,7 @@ def submission_test(cfg) -> Dict[str, float]:
         ensemble_method=str(cfg.DATA.get("ENSEMBLE_METHOD", "sum")),
     )
     sh = data_sharding(mesh)
-    variables = replicate(variables, mesh)
+    variables = shard_params(variables, mesh)
     for videos, labels, clip_ids in loader:
         pv, pn = (np.asarray(o) for o in jax.device_get(eval_step(variables, jax.device_put(videos, sh))))
         valid = clip_ids >= 0

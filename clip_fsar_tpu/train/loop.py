@@ -22,7 +22,7 @@ import numpy as np
 
 from clip_fsar_tpu.data.loader import build_few_shot_loader
 from clip_fsar_tpu.models.builder import build_few_shot_model
-from clip_fsar_tpu.parallel.mesh import build_mesh, check_batch_divisible, replicate, shard_batch
+from clip_fsar_tpu.parallel.mesh import build_mesh, check_batch_divisible, replicate, shard_batch, shard_params
 from clip_fsar_tpu.train.checkpoint import Checkpointer, auto_resume
 from clip_fsar_tpu.train.optimizer import build_optimizer, epoch_for_iter, get_lr_at_epoch
 from clip_fsar_tpu.train.state import TrainState
@@ -55,7 +55,7 @@ def evaluate(cfg, model, variables, mesh, num_tasks: int, episodes_per_step: int
     e = max(e // mesh.devices.size, 1) * mesh.devices.size  # round to mesh-divisible
     check_batch_divisible(e, mesh)
     num_steps = max(num_tasks // e, 1)
-    variables = replicate(variables, mesh)
+    variables = shard_params(variables, mesh)
 
     top1 = top5 = count = 0
     loss_sum = 0.0
@@ -128,7 +128,7 @@ def train_few_shot(cfg) -> Dict[str, float]:
             state = state.replace(params=loaded_vars["params"], batch_stats=loaded_vars.get("batch_stats"))
             if state.ema_params is not None:
                 state = state.replace(ema_params=loaded_vars["params"])
-    state = replicate(state, mesh)
+    state = shard_params(state, mesh)
 
     train_step = jax.jit(make_train_step(model.head, tx, cfg, model.text_train, model.text_test), donate_argnums=0)
 
