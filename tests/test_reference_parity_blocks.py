@@ -330,3 +330,73 @@ def test_timesformer_layer_matches_reference():
     ours2 = BaseTransformerLayer(cfg=our_cfg)
     got2 = ours2.apply({"params": jax.tree_util.tree_map(jnp.asarray, params2)}, jnp.asarray(x), deterministic=True)
     np.testing.assert_allclose(np.asarray(got2), want2, rtol=1e-4, atol=1e-5)
+
+
+def test_localization_losses_match_reference():
+    """TAL loss family vs reference models/utils/localization_losses.py.
+    Loss_PemReg's random sub-sampling is made deterministic by choosing an
+    iou map where num_h > num_m and num_h > num_l (selection thresholds go
+    negative -> every cell selected, a reference quirk both sides share)."""
+    import models.utils.localization_losses as rl
+
+    from reference_oracle import NS
+
+    import clip_fsar_tpu.train.localization_losses as ol
+
+    rng = np.random.RandomState(8)
+    b, d, t = 2, 6, 6
+    # many high-iou cells, few mid/low -> deterministic PemReg weights
+    iou = np.zeros((b, d, t), np.float32)
+    iou[:, :4] = 0.95
+    iou[:, 4, :2] = 0.5
+    iou[:, 5, :2] = 0.2
+    mask = np.ones((b, d, t), np.float32)
+    start_map = (rng.rand(b, t) > 0.5).astype(np.float32)
+    end_map = (rng.rand(b, t) > 0.5).astype(np.float32)
+    label_map = rng.randint(0, 3, size=(b, 2, d, t)).astype(np.int64)
+
+    conf = np.clip(rng.rand(b, 2, d, t).astype(np.float32), 0.01, 0.99)
+    start = np.clip(rng.rand(b, t).astype(np.float32), 0.01, 0.99)
+    end = np.clip(rng.rand(b, t).astype(np.float32), 0.01, 0.99)
+    verb_map = rng.randn(b, 3, d, t).astype(np.float32)
+    noun_map = rng.randn(b, 3, d, t).astype(np.float32)
+
+    ref_cfg = NS(LOCALIZATION=NS(POS_REG_THRES=0.7, NEG_REG_THRES=0.3, POS_CLS_THRES=0.9))
+    ref_preds = {
+        "confidence_map": _t(conf), "start": _t(start), "end": _t(end),
+        "verb_map": _t(verb_map), "noun_map": _t(noun_map),
+    }
+    ref_labels = {"supervised": {
+        "iou_map": _t(iou), "mask": _t(mask), "start_map": _t(start_map), "end_map": _t(end_map),
+        "label_map": _t(label_map),
+    }}
+
+    from clip_fsar_tpu.config import Config
+
+    our_cfg = Config({"LOCALIZATION": {"POS_REG_THRES": 0.7, "NEG_REG_THRES": 0.3, "POS_CLS_THRES": 0.9}})
+    our_preds = {
+        "confidence_map": jnp.asarray(conf), "start": jnp.asarray(start), "end": jnp.asarray(end),
+        "verb_map": jnp.asarray(verb_map), "noun_map": jnp.asarray(noun_map),
+    }
+    our_labels = {"supervised": {
+        "iou_map": jnp.asarray(iou), "mask": jnp.asarray(mask),
+        "start_map": jnp.asarray(start_map), "end_map": jnp.asarray(end_map),
+        "label_map": jnp.asarray(label_map),
+    }}
+
+    with torch.no_grad():
+        want_tem = rl.Loss_Tem(ref_cfg, ref_preds, None, ref_labels)[0]["tem"].item()
+        want_cls = rl.Loss_PemCls(ref_cfg, ref_preds, None, ref_labels)[0]["pem_cls"].item()
+        want_reg = rl.Loss_PemReg(ref_cfg, ref_preds, None, ref_labels)[0]["pem_reg"].item()
+        want_act = rl.Loss_BmnActionCls(ref_cfg, ref_preds, None, ref_labels)[0]
+
+    got_tem = float(ol.loss_tem(our_cfg, our_preds, None, our_labels)[0]["tem"])
+    got_cls = float(ol.loss_pem_cls(our_cfg, our_preds, None, our_labels)[0]["pem_cls"])
+    got_reg = float(ol.loss_pem_reg(our_cfg, our_preds, None, our_labels)[0]["pem_reg"])
+    got_act = ol.loss_bmn_action_cls(our_cfg, our_preds, None, our_labels)[0]
+
+    assert abs(got_tem - want_tem) < 1e-4
+    assert abs(got_cls - want_cls) < 1e-4
+    assert abs(got_reg - want_reg) < 1e-4
+    assert abs(float(got_act["verb_loss"]) - want_act["verb_loss"].item()) < 1e-4
+    assert abs(float(got_act["noun_loss"]) - want_act["noun_loss"].item()) < 1e-4
