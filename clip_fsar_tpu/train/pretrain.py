@@ -197,6 +197,12 @@ def _load_raw(path: str) -> Optional[Dict[str, Any]]:
          (or the full variables dict when keys carry a collection prefix);
        * orbax dir (a run OUTPUT_DIR, its checkpoints/ dir, or a single
          step dir): raw pytree restore."""
+    from clip_fsar_tpu.utils.storage import fetch, is_remote
+
+    if is_remote(path):
+        # remote checkpoint (reference bucket.py download path): fetch to
+        # the local cache first
+        path = fetch(path)
     if path.endswith(".npz") and os.path.isfile(path):
         flat = dict(np.load(path))
         tree = unflatten_tree(flat)
