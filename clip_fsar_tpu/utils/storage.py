@@ -45,8 +45,10 @@ register_scheme("file", _fetch_file)
 
 def _try_register_oss() -> None:
     try:
-        import oss2  # noqa: F401
+        import oss2
     except ImportError:
+        return
+    if getattr(oss2, "__parity_stub__", False):  # test-harness stub, not the SDK
         return
 
     def fetch(url: str, dst: str) -> None:

@@ -100,9 +100,13 @@ def _install_stubs() -> None:
 
         packaging = types.SimpleNamespace(version=types.SimpleNamespace(parse=_Version))
         _module("pkg_resources", packaging=packaging)
-    # NOTE: decord/oss2 are deliberately NOT stubbed — the model tree never
-    # imports them, and a fake sys.modules entry would leak into the
-    # framework's own optional-dependency probes in other tests.
+    # NOTE: decord is deliberately NOT stubbed — the model tree never
+    # imports it, and a fake sys.modules entry would leak into the
+    # framework's own optional-dependency probes in other tests.  oss2 is
+    # stubbed (reference utils.checkpoint -> utils.bucket imports it) but
+    # carries __parity_stub__ so our storage backend detection skips it.
+    if "oss2" not in sys.modules:
+        _module("oss2", Auth=_Inert("Auth"), Bucket=_Inert("Bucket"), __parity_stub__=True)
     if "fvcore" not in sys.modules:
         _module("fvcore")
         _module("fvcore.nn", FlopCountAnalysis=_Inert("FlopCountAnalysis"), ActivationCountAnalysis=_Inert("ActivationCountAnalysis"), flop_count=_Inert("flop_count"), activation_count=_Inert("activation_count"))
