@@ -400,3 +400,43 @@ def test_localization_losses_match_reference():
     assert abs(got_reg - want_reg) < 1e-4
     assert abs(float(got_act["verb_loss"]) - want_act["verb_loss"].item()) < 1e-4
     assert abs(float(got_act["noun_loss"]) - want_act["noun_loss"].item()) < 1e-4
+
+
+def test_soft_nms_matches_reference():
+    """Gaussian soft-NMS with width-dependent threshold vs reference
+    tal_tools.soft_nms (:249-296) on identical proposal sets."""
+    import pandas as pd
+    import utils.tal_tools as rt
+
+    from clip_fsar_tpu.utils.tal import soft_nms
+
+    rng = np.random.RandomState(9)
+    n = 30
+    xmin = rng.rand(n).astype(np.float64)
+    width = rng.rand(n) * 0.3 + 0.02
+    xmax = xmin + width
+    score = rng.permutation(n).astype(np.float64) / n + rng.rand(n) * 1e-6  # distinct
+
+    df = pd.DataFrame({"xmin": xmin, "xmax": xmax, "score": score})
+    want = rt.soft_nms(df, alpha=0.4, t1=0.25, t2=0.7, prop_num=10, iou_power=2.0)
+
+    proposals = [{"xmin": float(a), "xmax": float(b), "score": float(s)} for a, b, s in zip(xmin, xmax, score)]
+    got = soft_nms(proposals, alpha=0.4, t1=0.25, t2=0.7, prop_num=10, iou_power=2.0)
+
+    assert len(got) == len(want)
+    np.testing.assert_allclose([p["xmin"] for p in got], want["xmin"].values, rtol=1e-9)
+    np.testing.assert_allclose([p["xmax"] for p in got], want["xmax"].values, rtol=1e-9)
+    np.testing.assert_allclose([p["score"] for p in got], want["score"].values, rtol=1e-9)
+
+
+def test_iou_with_anchors_matches_reference():
+    from utils.bboxes_1d import iou_with_anchors as ref_iou
+
+    from clip_fsar_tpu.utils.tal import iou_with_anchors
+
+    rng = np.random.RandomState(10)
+    amin = rng.rand(20)
+    amax = amin + rng.rand(20)
+    got = iou_with_anchors(amin, amax, 0.3, 0.8)
+    want = ref_iou(amin, amax, 0.3, 0.8)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
