@@ -47,7 +47,14 @@ def _install_stubs() -> None:
         return  # real torchvision present somehow
 
     tv = _module("torchvision", __parity_stub__=True)
-    tv.models = _module("torchvision.models", resnet18=_Inert("resnet18"), resnet34=_Inert("resnet34"), resnet50=_Inert("resnet50"))
+
+    def _fake_resnet(**kw):
+        # CNN_FSHead slices children()[:-1]; tests replace .backbone anyway
+        import torch.nn as nn
+
+        return nn.Sequential(nn.Identity(), nn.Identity())
+
+    tv.models = _module("torchvision.models", resnet18=_fake_resnet, resnet34=_fake_resnet, resnet50=_fake_resnet)
     tv.utils = _module("torchvision.utils", make_grid=_Inert("make_grid"), save_image=_Inert("save_image"))
 
     class _InterpolationMode:

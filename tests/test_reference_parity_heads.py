@@ -1,0 +1,222 @@
+"""Full-head reference parity for the classic episodic heads.
+
+Both sides share one deterministic "backbone": per-frame mean pixel
+projected by a fixed random matrix W [3, 2048] — the reference head gets
+a torch module in ``.backbone``, ours monkeypatches ``fsheads._encode``.
+With identical transplanted head weights, logits must match to fp32
+tolerance.
+
+Oracles (reference models/base/few_shot.py):
+  * CNN_TSN (:1533-1572), CNN_OTAM λ=0.1 (:1405-1444)
+  * CNN_HyRSM_{1,5}shot (:1689-1900), CNN_HyRSM_plusplus_1shot (:1902-…)
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from reference_oracle import NS, import_reference_few_shot, zero_dropout
+
+import clip_fsar_tpu.models.heads.fsheads as fsheads_mod
+from clip_fsar_tpu.data.types import Episode
+
+fs = import_reference_few_shot()
+
+WAY, SHOT, QPC, T, RES = 3, 1, 2, 4, 16
+DIM = 2048  # reference mid_dim for resnet50
+_W = np.random.RandomState(42).randn(3, DIM).astype(np.float32) * 0.2
+
+
+class _TorchProjBackbone(torch.nn.Module):
+    def forward(self, x):  # [N, 3, H, W] -> [N, DIM]
+        return x.mean(dim=(2, 3)) @ torch.from_numpy(_W)
+
+
+def _fake_encode(backbone, images, dim):
+    # [N, T, H, W, 3] -> [N, T, dim]
+    feats = images.astype(jnp.float32).mean(axis=(2, 3)) @ jnp.asarray(_W)
+    return feats
+
+
+@pytest.fixture()
+def fake_encode(monkeypatch):
+    monkeypatch.setattr(fsheads_mod, "_encode", _fake_encode)
+    yield
+
+
+def _episode(seed, shot=SHOT):
+    rng = np.random.RandomState(seed)
+    s, q = WAY * shot, WAY * QPC
+    perm_s, perm_q = rng.permutation(s), rng.permutation(q)
+    sl = np.repeat(np.arange(WAY), shot)[perm_s]
+    ql = np.repeat(np.arange(WAY), QPC)[perm_q]
+    sup = rng.randn(s, T, RES, RES, 3).astype(np.float32)
+    tgt = rng.randn(q, T, RES, RES, 3).astype(np.float32)
+    ep = Episode(
+        support_images=jnp.asarray(sup),
+        support_labels=jnp.asarray(sl.astype(np.int32)),
+        real_support_labels=jnp.asarray(sl.astype(np.int32)),
+        target_images=jnp.asarray(tgt),
+        target_labels=jnp.asarray(ql.astype(np.int32)),
+        real_target_labels=jnp.asarray(ql.astype(np.int32)),
+        batch_class_list=jnp.asarray(np.arange(WAY, dtype=np.int32)),
+    )
+    task = {
+        "support_set": torch.from_numpy(sup.transpose(0, 1, 4, 2, 3).reshape(s * T, 3, RES, RES)),
+        "support_labels": torch.from_numpy(sl.astype(np.int64)),
+        "target_set": torch.from_numpy(tgt.transpose(0, 1, 4, 2, 3).reshape(q * T, 3, RES, RES)),
+        "target_labels": torch.from_numpy(ql.astype(np.int64)),
+        "real_support_labels": torch.from_numpy(sl.astype(np.int64)),
+    }
+    return ep, task
+
+
+def _ref_cfg(**train):
+    base = dict(WAY=WAY, SHOT=SHOT, DDP_GPU=1)
+    base.update(train)
+    return NS(
+        VIDEO=NS(HEAD=NS(BACKBONE_NAME="resnet50")),
+        TRAIN=NS(**base),
+        DATA=NS(NUM_INPUT_FRAMES=T),
+    )
+
+
+def _build_ref(cls_name, **train):
+    torch.manual_seed(0)
+    head = getattr(fs, cls_name)(_ref_cfg(**train)).float()
+    head.backbone = _TorchProjBackbone()
+    zero_dropout(head)
+    head.eval()
+    return head
+
+
+def test_cnn_tsn_parity(fake_encode):
+    ref = _build_ref("CNN_TSN")
+    ep, task = _episode(20)
+    with torch.no_grad():
+        want = ref(task)["logits"].numpy()
+    ours = fsheads_mod.CNNTSNHead(backbone_name="resnet50", way=WAY, num_frames=T)
+    variables = ours.init(jax.random.PRNGKey(0), ep, train=False)
+    got = np.asarray(ours.apply(variables, ep, train=False)["logits"])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_cnn_otam_parity(fake_encode):
+    """Bidirectional OTAM with λ=0.1 (OTAM_cum_dist, :1371-1401)."""
+    ref = _build_ref("CNN_OTAM")
+    ep, task = _episode(21, shot=2)
+    with torch.no_grad():
+        want = ref(task)["logits"].numpy()
+    ours = fsheads_mod.CNNOTAMHead(backbone_name="resnet50", way=WAY, num_frames=T)
+    variables = ours.init(jax.random.PRNGKey(0), ep, train=False)
+    got = np.asarray(ours.apply(variables, ep, train=False)["logits"])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def _hyrsm_params(ref):
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    feats = {
+        "temporal_atte_before": {
+            "norm": {"scale": sd["temporal_atte_before.norm.weight"], "bias": sd["temporal_atte_before.norm.bias"]},
+            "to_qkv": {"kernel": sd["temporal_atte_before.fn.to_qkv.weight"].T},
+            "to_out": {"kernel": sd["temporal_atte_before.fn.to_out.0.weight"].T, "bias": sd["temporal_atte_before.fn.to_out.0.bias"]},
+        },
+        "temporal_atte": {
+            "w_qs": {"kernel": sd["temporal_atte.w_qs.weight"].T},
+            "w_ks": {"kernel": sd["temporal_atte.w_ks.weight"].T},
+            "w_vs": {"kernel": sd["temporal_atte.w_vs.weight"].T},
+            "fc": {"kernel": sd["temporal_atte.fc.weight"].T, "bias": sd["temporal_atte.fc.bias"]},
+            "layer_norm": {"scale": sd["temporal_atte.layer_norm.weight"], "bias": sd["temporal_atte.layer_norm.bias"]},
+        },
+        # Conv1d k=1 [out, in, 1] == Dense [in, out]
+        "layer2": {"kernel": sd["layer2.0.weight"][:, :, 0].T, "bias": sd["layer2.0.bias"]},
+        "classification_layer": {"kernel": sd["classification_layer.weight"].T, "bias": sd["classification_layer.bias"]},
+    }
+    return jax.tree_util.tree_map(jnp.asarray, {"features": feats})
+
+
+@pytest.mark.parametrize("five_shot", [False, True])
+def test_cnn_hyrsm_parity(fake_encode, five_shot):
+    cls = "CNN_HyRSM_5shot" if five_shot else "CNN_HyRSM_1shot"
+    shot = 2 if five_shot else 1
+    ref = _build_ref(cls, NUM_CLASS=11, HEAD=8, POSITION_A=10.0, POSITION_B=1.0)
+    ep, task = _episode(22, shot=shot)
+    with torch.no_grad():
+        out = ref(task)
+        want, want_cls = out["logits"].numpy(), out["class_logits"].numpy()
+
+    ours = fsheads_mod.CNNHyRSMHead(
+        backbone_name="resnet50", way=WAY, num_frames=T, five_shot=five_shot, num_class=11, heads=8
+    )
+    got_out = ours.apply({"params": _hyrsm_params(ref)}, ep, train=False)
+    np.testing.assert_allclose(np.asarray(got_out["logits"]), want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_out["class_logits"]), want_cls, rtol=1e-4, atol=1e-4)
+
+
+def test_cnn_hyrsm_plusplus_parity(fake_encode):
+    """HyRSM++ adds the temporal-coherence regularizer (λ windows masks,
+    :1939-2035)."""
+    ref = _build_ref(
+        "CNN_HyRSM_plusplus_1shot",
+        NUM_CLASS=11, HEAD=8, POSITION_A=10.0, POSITION_B=1.0, WINDOW_SIZE=2, TEMPORAL_BALANCE=1.5,
+        BALANCE_COEFFICIENT=0.7, USE_CLASSIFICATION=True,
+    )
+    ep, task = _episode(23)
+    with torch.no_grad():
+        out = ref(task)
+        want = out["logits"].numpy()
+        want_reg = float(out["loss_temporal_regular"])
+
+    ours = fsheads_mod.CNNHyRSMPlusPlusHead(
+        backbone_name="resnet50", way=WAY, num_frames=T, num_class=11, heads=8,
+        window_size=2, temporal_balance=1.5, balance_coefficient=0.7, use_classification=True,
+    )
+    got = ours.apply({"params": _hyrsm_params(ref)}, ep, train=False)
+    np.testing.assert_allclose(np.asarray(got["logits"]), want, rtol=1e-4, atol=1e-4)
+    assert abs(float(got["loss_temporal_regular"]) - want_reg) < 1e-4
+
+
+def test_cnn_trx_parity(fake_encode):
+    """TRX tuple cross-attention, cardinalities [2, 3] (reference
+    :1227-1366): joint softmax over (shot x support-tuple), query-specific
+    prototypes, -||diff||^2 / n_tuples averaged over cardinalities."""
+    ref = _build_ref("CNN_TRX")
+    ep, task = _episode(24, shot=2)
+    with torch.no_grad():
+        want = ref(task)["logits"].numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {}
+    for i, card in enumerate((2, 3)):
+        params[f"trx_{card}"] = {
+            "k_linear": {"kernel": sd[f"transformers.{i}.k_linear.weight"].T, "bias": sd[f"transformers.{i}.k_linear.bias"]},
+            "v_linear": {"kernel": sd[f"transformers.{i}.v_linear.weight"].T, "bias": sd[f"transformers.{i}.v_linear.bias"]},
+            "norm_k": {"scale": sd[f"transformers.{i}.norm_k.weight"], "bias": sd[f"transformers.{i}.norm_k.bias"]},
+        }
+    ours = fsheads_mod.CNNTRXHead(backbone_name="resnet50", way=WAY, num_frames=T, temp_set=(2, 3))
+    got = np.asarray(ours.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)}, ep, train=False)["logits"])
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-2)  # -||.||^2 magnitudes ~1e3
+
+
+def test_cnn_cross_transformer_parity(fake_encode):
+    """CrossTransformer query-aligned prototypes (reference :1451-1529):
+    shared key/query 1x1 conv, (shot x frame)-flattened support tokens,
+    cosine /8 scoring."""
+    shot = 2
+    ref = _build_ref("CNN_CrossTransformer", SHOT=shot)
+    ep, task = _episode(25, shot=shot)
+    with torch.no_grad():
+        want = ref(task)["logits"].numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "key_head": {"kernel": sd["key_head.weight"][:, :, 0].T},
+        "value_head": {"kernel": sd["value_head.weight"][:, :, 0].T},
+    }
+    ours = fsheads_mod.CNNCrossTransformerHead(backbone_name="resnet50", way=WAY, shot=shot, num_frames=T)
+    got = np.asarray(ours.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)}, ep, train=False)["logits"])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
