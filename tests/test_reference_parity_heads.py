@@ -220,3 +220,110 @@ def test_cnn_cross_transformer_parity(fake_encode):
     ours = fsheads_mod.CNNCrossTransformerHead(backbone_name="resnet50", way=WAY, shot=shot, num_frames=T)
     got = np.asarray(ours.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)}, ep, train=False)["logits"])
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class _TorchSpatialBackbone(torch.nn.Module):
+    """[N, 3, H, W] -> [N, DIM, 7, 7]: 7x7 adaptive mean pool, per-cell
+    fixed projection (the reference MoLo hardcodes the 7x7 grid)."""
+
+    def forward(self, x):
+        p = torch.nn.functional.adaptive_avg_pool2d(x, (7, 7))  # [N, 3, 7, 7]
+        return torch.einsum("nchw,cd->ndhw", p, torch.from_numpy(_W))
+
+
+def _fake_spatial_call(self, x, pool=True, **kw):
+    # [N, H, W, 3] -> [N, 7, 7, DIM] (or pooled [N, DIM])
+    n, h, w, _ = x.shape
+    p = x.reshape(n, 7, h // 7, 7, w // 7, 3).mean(axis=(2, 4))  # [N, 7, 7, 3]
+    feats = p.astype(jnp.float32) @ jnp.asarray(_W)
+    return feats.mean(axis=(1, 2)) if pool else feats
+
+
+def test_cnn_molo_parity(monkeypatch):
+    """CNN_BiMHM_MoLo (reference :2390-2654): appearance + motion streams
+    with class tokens, global<->local s2q/q2s contrastive logits, frame
+    Bi-MHM fused with LOGIT_BALANCE_COFF, class logits."""
+    from clip_fsar_tpu.models.heads.molo import MoLoHead
+    from clip_fsar_tpu.models.resnet import TorchResNet
+
+    monkeypatch.setattr(TorchResNet, "__call__", _fake_spatial_call)
+
+    res = 224  # the reference MoLo forward hardcodes 224x224 inputs (:2541-2547)
+    ref = _build_ref(
+        "CNN_BiMHM_MoLo",
+        NUM_CLASS=11, HEAD=8, POSITION_A=10.0, POSITION_B=1.0,
+        USE_CONTRASTIVE=True, USE_CLASSIFICATION=True, LOGIT_BALANCE_COFF=0.4,
+    )
+    ref.backbone = _TorchSpatialBackbone()
+    torch.nn.init.normal_(ref.scale, mean=1.3, std=0.0)
+    torch.nn.init.normal_(ref.scale_motion, mean=0.8, std=0.0)
+
+    rng = np.random.RandomState(26)
+    s, q = WAY * SHOT, WAY * QPC
+    perm_s, perm_q = rng.permutation(s), rng.permutation(q)
+    sl = np.repeat(np.arange(WAY), SHOT)[perm_s]
+    ql = np.repeat(np.arange(WAY), QPC)[perm_q]
+    sup = rng.randn(s, T, res, res, 3).astype(np.float32)
+    tgt = rng.randn(q, T, res, res, 3).astype(np.float32)
+    ep = Episode(
+        support_images=jnp.asarray(sup), support_labels=jnp.asarray(sl.astype(np.int32)),
+        real_support_labels=jnp.asarray(sl.astype(np.int32)), target_images=jnp.asarray(tgt),
+        target_labels=jnp.asarray(ql.astype(np.int32)), real_target_labels=jnp.asarray(ql.astype(np.int32)),
+        batch_class_list=jnp.asarray(np.arange(WAY, dtype=np.int32)),
+    )
+    task = {
+        "support_set": torch.from_numpy(sup.transpose(0, 1, 4, 2, 3).reshape(s * T, 3, res, res)),
+        "support_labels": torch.from_numpy(sl.astype(np.int64)),
+        "target_set": torch.from_numpy(tgt.transpose(0, 1, 4, 2, 3).reshape(q * T, 3, res, res)),
+        "target_labels": torch.from_numpy(ql.astype(np.int64)),
+    }
+    with torch.no_grad():
+        want = ref(task)
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    def tv2(prefix):
+        return {
+            "attn": {
+                "norm": {"scale": sd[f"{prefix}.layers.0.0.norm.weight"], "bias": sd[f"{prefix}.layers.0.0.norm.bias"]},
+                "to_qkv": {"kernel": sd[f"{prefix}.layers.0.0.fn.to_qkv.weight"].T},
+                "to_out": {"kernel": sd[f"{prefix}.layers.0.0.fn.to_out.0.weight"].T, "bias": sd[f"{prefix}.layers.0.0.fn.to_out.0.bias"]},
+            },
+            "ff_fc1": {"kernel": sd[f"{prefix}.layers.0.1.net.0.weight"].T, "bias": sd[f"{prefix}.layers.0.1.net.0.bias"]},
+            "ff_fc2": {"kernel": sd[f"{prefix}.layers.0.1.net.3.weight"].T, "bias": sd[f"{prefix}.layers.0.1.net.3.bias"]},
+        }
+
+    def up(prefix):
+        return {"conv": {"kernel": sd[f"{prefix}.conv.double_conv.0.weight"].transpose(2, 3, 1, 0)},
+                "bn": {"BatchNorm_0": {"scale": sd[f"{prefix}.conv.double_conv.1.weight"], "bias": sd[f"{prefix}.conv.double_conv.1.bias"]}}}
+
+    def up_stats(prefix):
+        return {"bn": {"BatchNorm_0": {"mean": sd[f"{prefix}.conv.double_conv.1.running_mean"], "var": sd[f"{prefix}.conv.double_conv.1.running_var"]}}}
+
+    params = {
+        "class_token": sd["class_token"],
+        "class_token_motion": sd["class_token_motion"],
+        "temporal_atte_before": tv2("temporal_atte_before"),
+        "temporal_atte_before_motion": tv2("temporal_atte_before_motion"),
+        "motion_reduce": {"kernel": sd["motion_reduce.weight"].transpose(2, 3, 4, 1, 0), "bias": sd["motion_reduce.bias"]},
+        "motion_conv": {"kernel": sd["motion_conv.weight"].transpose(2, 3, 1, 0), "bias": sd["motion_conv.bias"]},
+        "motion_up": {"kernel": sd["motion_up.weight"].transpose(2, 3, 1, 0), "bias": sd["motion_up.bias"]},
+        "up1": up("up1"), "up2": up("up2"), "up3": up("up3"),
+        "outc": {"kernel": sd["outc.conv.weight"].transpose(2, 3, 1, 0), "bias": sd["outc.conv.bias"]},
+        "classification_layer": {"kernel": sd["classification_layer.weight"].T, "bias": sd["classification_layer.bias"]},
+        "scale": sd["scale"], "scale_motion": sd["scale_motion"],
+    }
+    stats = {"up1": up_stats("up1"), "up2": up_stats("up2"), "up3": up_stats("up3")}
+
+    ours = MoLoHead(
+        backbone_name="resnet50", way=WAY, num_frames=T, num_class=11, heads=8,
+        use_contrastive=True, use_classification=True, logit_balance_coff=0.4,
+    )
+    got = ours.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params), "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+        ep, train=False,
+    )
+    for key in ("logits", "class_logits", "logits_s2q", "logits_q2s", "logits_s2q_motion", "logits_q2s_motion"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), want[key].numpy(), rtol=1e-3, atol=1e-3, err_msg=key
+        )
