@@ -65,17 +65,22 @@ class R2Plus1DBranch(_Branch):
         p = self.p
         kt, kh, kw = p.kernel_size
 
-        def factorized(y, cin, cout, stride, tag):
-            mid = _r2plus1d_mid(kt, kh, kw, cin, cout)
+        def factorized(y, mid, cout, stride, tag):
+            """spatial (1,kh,kw) to ``mid`` channels + bn/relu, then
+            temporal (kt,1,1) to ``cout``."""
             y = conv3d(mid, (1, kh, kw), (1, stride[1], stride[2]), dtype=self.dtype, name=f"{tag}1")(y)
             y = nn.relu(bn(self.train_bn, f"{tag}1_bn")(y))
             return conv3d(cout, (kt, 1, 1), (stride[0], 1, 1), dtype=self.dtype, name=f"{tag}2")(y)
 
         if p.transformation == "simple_block":
-            y = factorized(x, p.dim_in, p.num_filters, p.stride, "a")
+            # simple block picks mid by the (2+1)D param-matching formula
+            # (reference r2plus1d_branch.py:29-60)
+            y = factorized(x, _r2plus1d_mid(kt, kh, kw, p.dim_in, p.num_filters), p.num_filters, p.stride, "a")
             y = nn.relu(bn(self.train_bn, "a2_bn")(y))
-            y = factorized(y, p.num_filters, p.num_filters, (1, 1, 1), "b")
+            y = factorized(y, _r2plus1d_mid(kt, kh, kw, p.num_filters, p.num_filters), p.num_filters, (1, 1, 1), "b")
             return bn(self.train_bn, "b2_bn")(y)
+        # bottleneck keeps constant channels num_filters//expansion on both
+        # factorized convs — NO mid formula (reference :82-123)
         mid_f = p.num_filters // p.expansion_ratio
         y = conv3d(mid_f, (1, 1, 1), (1, 1, 1), dtype=self.dtype, name="a")(x)
         y = nn.relu(bn(self.train_bn, "a_bn")(y))
@@ -187,16 +192,28 @@ class CSNBranch(_Branch):
 
 @BRANCH_REGISTRY.register(name="SlowfastBranch")
 class SlowfastBranch(_Branch):
-    """SlowFast bottleneck (reference slowfast_branch.py): temporal kernel
-    on the first 1x1 conv, spatial on the middle."""
+    """SlowFast branch (reference slowfast_branch.py:20-80).
+
+    Bottleneck: a is (3,1,1) when TEMPORAL_CONV_BOTTLENECK[stage] else
+    1x1x1 (stride 1); b carries the full stage kernel and the stride;
+    c is 1x1x1.  Simple block: two full-kernel convs."""
 
     @nn.compact
     def __call__(self, x):
         p = self.p
+        if p.transformation == "simple_block":
+            x = conv3d(p.num_filters, p.kernel_size, p.stride, dtype=self.dtype, name="a")(x)
+            x = nn.relu(bn(self.train_bn, "a_bn")(x))
+            x = conv3d(p.num_filters, p.kernel_size, (1, 1, 1), dtype=self.dtype, name="b")(x)
+            return bn(self.train_bn, "b_bn")(x)
         mid = p.num_filters // p.expansion_ratio
-        x = conv3d(mid, (p.kernel_size[0], 1, 1), dtype=self.dtype, name="a")(x)
+        bb = self.cfg.VIDEO.BACKBONE
+        tconv = list(bb.get("TEMPORAL_CONV_BOTTLENECK", []) or [])
+        temporal_a = bool(tconv[p.stage_id]) if p.stage_id < len(tconv) else False
+        a_kernel = (3, 1, 1) if temporal_a else (1, 1, 1)
+        x = conv3d(mid, a_kernel, (1, 1, 1), dtype=self.dtype, name="a")(x)
         x = nn.relu(bn(self.train_bn, "a_bn")(x))
-        x = conv3d(mid, (1, p.kernel_size[1], p.kernel_size[2]), p.stride, dtype=self.dtype, name="b")(x)
+        x = conv3d(mid, p.kernel_size, p.stride, dtype=self.dtype, name="b")(x)
         x = nn.relu(bn(self.train_bn, "b_bn")(x))
         x = conv3d(p.num_filters, (1, 1, 1), dtype=self.dtype, name="c")(x)
         return bn(self.train_bn, "c_bn")(x)

@@ -1,0 +1,187 @@
+"""Video-backbone branch parity: identical weights into the reference
+branch modules (models/module_zoo/branches/*) and our flax branches must
+give identical outputs in eval mode (frozen BN stats transplanted).
+
+Covers: CSN, SlowFast, R2D3D (simple + bottleneck), R(2+1)D (simple +
+bottleneck), NonLocal, and the full TAdaConvBlockAvgPool bottleneck.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from reference_oracle import NS, import_reference_few_shot
+
+import_reference_few_shot()
+
+from clip_fsar_tpu.config import Config
+from clip_fsar_tpu.models.video import branches as vb  # noqa: F401 (registers)
+from clip_fsar_tpu.models.video.blocks import resolve_block_params
+from clip_fsar_tpu.utils.registry import BRANCH_REGISTRY
+
+STAGE, BLOCK = 1, 0
+T_FRAMES, RES = 4, 16
+
+
+def _cfg_pair(depth, branch_name, branch_extra=None):
+    bb = {
+        "DEPTH": depth,
+        "NUM_FILTERS": [8, 16],
+        "DOWNSAMPLING": [True, True],
+        "DOWNSAMPLING_TEMPORAL": [False, False],
+        "KERNEL_SIZE": [[1, 7, 7], [3, 3, 3]],
+        "EXPANSION_RATIO": 2,
+        "STEM": {"NAME": "Base3DStem"},
+        "TEMPORAL_CONV_BOTTLENECK": [True, True],
+        "BRANCH": {"NAME": branch_name, **(branch_extra or {})},
+    }
+    ref = NS(
+        VISUALIZATION=NS(ENABLE=False, FEATURE_MAPS=NS(ENABLE=False)),
+        VIDEO=NS(BACKBONE=NS(
+            DEPTH=depth, NUM_FILTERS=[8, 16], DOWNSAMPLING=[True, True],
+            DOWNSAMPLING_TEMPORAL=[False, False], KERNEL_SIZE=[[1, 7, 7], [3, 3, 3]],
+            EXPANSION_RATIO=2, STEM=NS(NAME="Base3DStem"),
+            BRANCH=NS(NAME=branch_name, **(branch_extra or {})),
+            TEMPORAL_CONV_BOTTLENECK=[True, True],
+        )),
+        BN=NS(MOMENTUM=0.1, EPS=1e-5),
+        DATA=NS(TRAIN_CROP_SIZE=RES, NUM_INPUT_FRAMES=T_FRAMES),
+    )
+    ours = Config({
+        "VIDEO": {"BACKBONE": bb},
+        "BN": {"MOMENTUM": 0.1, "EPS": 1e-5},
+        "DATA": {"TRAIN_CROP_SIZE": RES, "NUM_INPUT_FRAMES": T_FRAMES},
+    })
+    return ref, ours
+
+
+def _c3(w):  # torch [O, I(/g), kt, kh, kw] -> flax [kt, kh, kw, I(/g), O]
+    return w.transpose(2, 3, 4, 1, 0)
+
+
+def _transplant(ref):
+    """Map a reference branch state dict onto our flax naming: convs keep
+    their attribute name; BN 'x_bn' -> x_bn/BatchNorm_0."""
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats = {}, {}
+    for key, val in sd.items():
+        parts = key.split(".")
+        name, leaf = parts[0], parts[-1]
+        if name == "b_avgpool_bn":  # our TAda pooled BN is a bare nn.BatchNorm
+            node = params.setdefault(name, {})
+            snode = stats.setdefault(name, {})
+            if leaf == "weight":
+                node["scale"] = val
+            elif leaf == "bias":
+                node["bias"] = val
+            elif leaf == "running_mean":
+                snode["mean"] = val
+            elif leaf == "running_var":
+                snode["var"] = val
+        elif "bn" in name:
+            node = params.setdefault(name, {}).setdefault("BatchNorm_0", {})
+            snode = stats.setdefault(name, {}).setdefault("BatchNorm_0", {})
+            if leaf == "weight":
+                node["scale"] = val
+            elif leaf == "bias":
+                node["bias"] = val
+            elif leaf == "running_mean":
+                snode["mean"] = val
+            elif leaf == "running_var":
+                snode["var"] = val
+        elif name == "b_rf":  # TAda routing submodule
+            sub = parts[1]
+            if sub == "bn":
+                tgt = params.setdefault("b_rf", {}).setdefault("bn", {}).setdefault("BatchNorm_0", {})
+                stgt = stats.setdefault("b_rf", {}).setdefault("bn", {}).setdefault("BatchNorm_0", {})
+                if leaf == "weight":
+                    tgt["scale"] = val
+                elif leaf == "bias":
+                    tgt["bias"] = val
+                elif leaf == "running_mean":
+                    stgt["mean"] = val
+                elif leaf == "running_var":
+                    stgt["var"] = val
+            else:
+                tgt = params.setdefault("b_rf", {}).setdefault(sub, {})
+                if leaf == "weight":
+                    tgt["kernel"] = _c3(val)
+                else:
+                    tgt["bias"] = val
+        elif leaf == "weight":
+            if name == "b" and val.ndim == 6:  # TAdaConv2d base weight [1,1,O,I,kh,kw]
+                params.setdefault("b", {}).setdefault("conv", {})["kernel"] = val[0, 0].transpose(2, 3, 1, 0)[None]
+            else:
+                params.setdefault(name, {})["kernel"] = _c3(val)
+        elif leaf == "bias":
+            params.setdefault(name, {})["bias"] = val
+    return (
+        jax.tree_util.tree_map(jnp.asarray, params),
+        jax.tree_util.tree_map(jnp.asarray, stats),
+    )
+
+
+def _run_pair(ref_cls_name, depth, branch_extra=None, atol=1e-5, stage=STAGE, block=BLOCK, c_in=8):
+    import models.module_zoo.branches.csn_branch  # noqa: F401
+    import models.module_zoo.branches.non_local  # noqa: F401
+    import models.module_zoo.branches.r2d3d_branch  # noqa: F401
+    import models.module_zoo.branches.r2plus1d_branch  # noqa: F401
+    import models.module_zoo.branches.slowfast_branch  # noqa: F401
+    import models.module_zoo.branches.tada_branch  # noqa: F401
+    from models.base.base_blocks import BRANCH_REGISTRY as REF_BRANCHES
+
+    ref_cfg, our_cfg = _cfg_pair(depth, ref_cls_name, branch_extra)
+    torch.manual_seed(0)
+    ref = REF_BRANCHES.get(ref_cls_name)(ref_cfg, [stage, block]).float().eval()
+    # randomize zero-initialized paths so parity is non-trivial
+    for name, p_ in ref.named_parameters():
+        if p_.abs().sum() == 0:
+            torch.nn.init.normal_(p_, std=0.3)
+
+    rng = np.random.RandomState(11)
+    x = rng.randn(2, c_in, T_FRAMES, RES // 4, RES // 4).astype(np.float32)  # [B, C, T, H, W]
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+
+    params, stats = _transplant(ref)
+    ours_cls = BRANCH_REGISTRY.get(ref_cls_name)
+    p = resolve_block_params(our_cfg, stage, block)
+    ours = ours_cls(cfg=our_cfg, p=p, train_bn=False)
+    variables = {"params": params}
+    if jax.tree_util.tree_leaves(stats):
+        variables["batch_stats"] = stats
+    got = ours.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 4, 1)))
+    np.testing.assert_allclose(
+        np.asarray(got), want.transpose(0, 2, 3, 4, 1), rtol=1e-4, atol=atol
+    )
+
+
+def test_csn_branch_parity():
+    _run_pair("CSNBranch", depth=50)
+
+
+def test_slowfast_branch_parity():
+    _run_pair("SlowfastBranch", depth=50, branch_extra=None)
+
+
+@pytest.mark.parametrize("depth", [18, 50])
+def test_r2d3d_branch_parity(depth):
+    _run_pair("R2D3DBranch", depth=depth)
+
+
+@pytest.mark.parametrize("depth", [18, 50])
+def test_r2plus1d_branch_parity(depth):
+    _run_pair("R2Plus1DBranch", depth=depth)
+
+
+def test_tada_branch_parity():
+    _run_pair("TAdaConvBlockAvgPool", depth=50, branch_extra={"ROUTE_FUNC_R": 2, "ROUTE_FUNC_K": [3, 3], "POOL_K": [3, 1, 1]})
+
+
+def test_nonlocal_parity():
+    # residual add requires dim_in == num_filters: use a non-first block
+    _run_pair("NonLocal", depth=50, stage=1, block=1, c_in=16)
