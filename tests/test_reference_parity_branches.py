@@ -185,3 +185,162 @@ def test_tada_branch_parity():
 def test_nonlocal_parity():
     # residual add requires dim_in == num_filters: use a non-first block
     _run_pair("NonLocal", depth=50, stage=1, block=1, c_in=16)
+
+
+def test_s3dg_inception_block_parity():
+    """S3DG InceptionBlock3D with STConv3d branches and self-gating
+    (reference s3dg_branch.py:13-160, base_blocks.py:217-239)."""
+    import models.module_zoo.branches.s3dg_branch as sb
+
+    from clip_fsar_tpu.models.video.meta import InceptionBlock3D as OurBlock
+
+    in_planes, out_planes = 8, [4, 6, 8, 6, 8, 4]
+    ref_cfg, our_cfg = _cfg_pair(50, "STConv3d", {"GATING": True})
+    torch.manual_seed(1)
+    ref = sb.InceptionBlock3D(ref_cfg, in_planes, out_planes).float().eval()
+    # conv inits are std=0.01; bump for non-trivial activations
+    for name, p_ in ref.named_parameters():
+        if "conv" in name:
+            torch.nn.init.normal_(p_, std=0.2)
+
+    rng = np.random.RandomState(12)
+    x = rng.randn(2, in_planes, T_FRAMES, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    def base_conv(prefix):
+        return {
+            "conv": {"kernel": _c3(sd[f"{prefix}.conv.weight"])},
+            "bn": {"BatchNorm_0": {"scale": sd[f"{prefix}.bn.weight"], "bias": sd[f"{prefix}.bn.bias"]}},
+        }
+
+    def base_conv_stats(prefix):
+        return {"bn": {"BatchNorm_0": {"mean": sd[f"{prefix}.bn.running_mean"], "var": sd[f"{prefix}.bn.running_var"]}}}
+
+    def st_conv(prefix):
+        return {
+            "conv1": {"kernel": _c3(sd[f"{prefix}.conv1.weight"])},
+            "conv2": {"kernel": _c3(sd[f"{prefix}.conv2.weight"])},
+            "bn1": {"BatchNorm_0": {"scale": sd[f"{prefix}.bn1.weight"], "bias": sd[f"{prefix}.bn1.bias"]}},
+            "bn2": {"BatchNorm_0": {"scale": sd[f"{prefix}.bn2.weight"], "bias": sd[f"{prefix}.bn2.bias"]}},
+        }
+
+    def st_conv_stats(prefix):
+        return {
+            "bn1": {"BatchNorm_0": {"mean": sd[f"{prefix}.bn1.running_mean"], "var": sd[f"{prefix}.bn1.running_var"]}},
+            "bn2": {"BatchNorm_0": {"mean": sd[f"{prefix}.bn2.running_mean"], "var": sd[f"{prefix}.bn2.running_var"]}},
+        }
+
+    params = {
+        "branch0": base_conv("branch0.0"),
+        "branch1_0": base_conv("branch1.0"),
+        "branch1_1": st_conv("branch1.1"),
+        "branch2_0": base_conv("branch2.0"),
+        "branch2_1": st_conv("branch2.1"),
+        "branch3": base_conv("branch3.1"),
+    }
+    stats = {
+        "branch0": base_conv_stats("branch0.0"),
+        "branch1_0": base_conv_stats("branch1.0"),
+        "branch1_1": st_conv_stats("branch1.1"),
+        "branch2_0": base_conv_stats("branch2.0"),
+        "branch2_1": st_conv_stats("branch2.1"),
+        "branch3": base_conv_stats("branch3.1"),
+    }
+    for i in range(4):
+        params[f"gating_b{i}"] = {
+            "fc": {"kernel": sd[f"gating_b{i}.fc.weight"].T, "bias": sd[f"gating_b{i}.fc.bias"]}
+        }
+
+    ours = OurBlock(cfg=our_cfg, out_planes=out_planes)
+    got = ours.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params), "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+        jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
+    )
+    np.testing.assert_allclose(np.asarray(got), want.transpose(0, 2, 3, 4, 1), rtol=1e-4, atol=1e-5)
+
+
+def test_vivit_factorized_transformer_parity():
+    """ViViT factorized encoder (reference transformer.py:285-398):
+    per-frame spatial encoder -> temporal encoder over frame cls tokens,
+    PatchEmbedStem + BaseTransformerLayer blocks, full backbone
+    transplant."""
+    import models.base.transformer as rt
+
+    from clip_fsar_tpu.models.video.transformer import FactorizedTransformer as OurFT
+
+    f, depth, depth_temp, patch, res, t = 16, 2, 1, 4, 8, 2
+    bb = {
+        "NUM_FEATURES": f, "PATCH_SIZE": patch, "DEPTH": depth, "DEPTH_TEMP": depth_temp,
+        "DROP_PATH": 0.0, "NUM_HEADS": 2, "ATTN_DROPOUT": 0.1, "FF_DROPOUT": 0.1, "MLP_MULT": 4,
+        "STEM": {"NAME": "PatchEmbedStem"}, "BRANCH": {"NAME": "BaseTransformerLayer"},
+    }
+    ref_cfg = NS(
+        VISUALIZATION=NS(ENABLE=False, FEATURE_MAPS=NS(ENABLE=False)),
+        VIDEO=NS(BACKBONE=NS(
+            NUM_FEATURES=f, PATCH_SIZE=patch, DEPTH=depth, DEPTH_TEMP=depth_temp, DROP_PATH=0.0,
+            NUM_HEADS=2, ATTN_DROPOUT=0.1, FF_DROPOUT=0.1, MLP_MULT=4,
+            STEM=NS(NAME="PatchEmbedStem"), BRANCH=NS(NAME="BaseTransformerLayer"),
+        )),
+        DATA=NS(TRAIN_CROP_SIZE=res, NUM_INPUT_FRAMES=t, NUM_INPUT_CHANNELS=3),
+        BN=NS(MOMENTUM=0.1, EPS=1e-5),
+    )
+    our_cfg = Config({
+        "VIDEO": {"BACKBONE": bb},
+        "DATA": {"TRAIN_CROP_SIZE": res, "NUM_INPUT_FRAMES": t, "NUM_INPUT_CHANNELS": 3},
+        "BN": {"MOMENTUM": 0.1, "EPS": 1e-5},
+    })
+
+    torch.manual_seed(2)
+    from reference_oracle import zero_dropout
+
+    ref = rt.FactorizedTransformer(ref_cfg).float()
+    zero_dropout(ref)
+    ref.eval()
+    # pos embeddings init to trunc_normal(0.02); bump for signal
+    torch.nn.init.normal_(ref.pos_embd, std=0.3)
+    torch.nn.init.normal_(ref.temp_embd, std=0.3)
+
+    rng = np.random.RandomState(13)
+    x = rng.randn(2, 3, t, res, res).astype(np.float32)  # [B, C, T, H, W]
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    def layer(prefix):
+        return {
+            "norm": {"scale": sd[f"{prefix}.norm.weight"], "bias": sd[f"{prefix}.norm.bias"]},
+            "attn": {
+                "to_qkv": {"kernel": sd[f"{prefix}.attn.to_qkv.weight"].T, "bias": sd[f"{prefix}.attn.to_qkv.bias"]},
+                "proj": {"kernel": sd[f"{prefix}.attn.proj.weight"].T, "bias": sd[f"{prefix}.attn.proj.bias"]},
+            },
+            "norm_ffn": {"scale": sd[f"{prefix}.norm_ffn.weight"], "bias": sd[f"{prefix}.norm_ffn.bias"]},
+            "ffn": {
+                "fc1": {"kernel": sd[f"{prefix}.ffn.net.0.weight"].T, "bias": sd[f"{prefix}.ffn.net.0.bias"]},
+                "fc2": {"kernel": sd[f"{prefix}.ffn.net.3.weight"].T, "bias": sd[f"{prefix}.ffn.net.3.bias"]},
+            },
+        }
+
+    params = {
+        "stem": {"conv1": {"kernel": _c3(sd["stem.conv1.weight"]), "bias": sd["stem.conv1.bias"]}},
+        "cls_token": sd["cls_token"],
+        "cls_token_out": sd["cls_token_out"],
+        "pos_embd": sd["pos_embd"],
+        "temp_embd": sd["temp_embd"],
+        "norm": {"scale": sd["norm.weight"], "bias": sd["norm.bias"]},
+        "norm_out": {"scale": sd["norm_out.weight"], "bias": sd["norm_out.bias"]},
+    }
+    for i in range(depth):
+        params[f"layers_{i}"] = layer(f"layers.{i}")
+    for i in range(depth_temp):
+        params[f"layers_temporal_{i}"] = layer(f"layers_temporal.{i}")
+
+    ours = OurFT(cfg=our_cfg)
+    got = ours.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(x.transpose(0, 2, 3, 4, 1)), deterministic=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
