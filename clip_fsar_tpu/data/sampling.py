@@ -35,11 +35,13 @@ def interval_indices(
     num_frames: int,
     interval: int,
     target_fps: float = 30.0,
-    minus_interval: bool = False,
     rng: np.random.Generator | None = None,
 ) -> np.ndarray:
     """clip_idx == -1 -> random temporal window (train); otherwise the
-    clip_idx-th of num_clips evenly spaced windows (multi-view test)."""
+    clip_idx-th of num_clips evenly spaced windows (multi-view test).
+    The window ends ``interval`` before its nominal end — exact reference
+    arithmetic (base_dataset.py:524-529: end = start + clip_length -
+    interval; linspace; clamp; truncate)."""
     if num_frames == 1:
         if rng is None:
             return np.array([vid_length // 2])
@@ -56,30 +58,27 @@ def interval_indices(
         start = max_idx / 2
     else:
         start = max_idx * clip_idx / num_clips
-    if minus_interval:
-        end = start + clip_length - interval
-    else:
-        end = start + clip_length - 1
+    end = start + clip_length - interval
     index = np.linspace(start, end, num_frames)
     return np.clip(index, 0, vid_length - 1).astype(np.int64)
 
 
 def segment_indices(vid_length: int, clip_idx: int, num_clips: int, num_frames: int, rng: np.random.Generator | None = None) -> np.ndarray:
-    """TSN segment sampling: one frame per equal segment — random offset at
-    train (clip_idx == -1), deterministic fraction at test."""
-    index = np.zeros(num_frames, dtype=np.int64)
-    if vid_length > num_frames:
-        seg = vid_length / num_frames
-        for i in range(num_frames):
-            lo, hi = int(np.round(seg * i)), max(int(np.round(seg * (i + 1))) - 1, int(np.round(seg * i)))
-            if clip_idx == -1 and rng is not None:
-                index[i] = rng.integers(lo, hi + 1)
-            else:
-                frac = 0.5 if num_clips == 1 else clip_idx / max(num_clips - 1, 1)
-                index[i] = int(lo + (hi - lo) * frac)
-    else:
-        index = np.minimum(np.arange(num_frames), vid_length - 1)
-    return index
+    """TSN segment sampling (exact reference arithmetic,
+    base_dataset.py:571-595): segment edges = linspace(0, L, T+1);
+    train draws uniform reals per segment, test takes the midpoint
+    (num_clips == 1) or edge + width * (clip_idx+1)/num_clips; then
+    round-half-to-even + clamp."""
+    edges = np.linspace(0.0, float(vid_length), num_frames + 1)
+    index = np.zeros(num_frames, dtype=np.float64)
+    for i in range(num_frames):
+        if clip_idx == -1 and rng is not None:
+            index[i] = rng.uniform(edges[i], edges[i + 1])
+        elif num_clips == 1:
+            index[i] = (edges[i] + edges[i + 1]) / 2.0
+        else:
+            index[i] = edges[i] + (edges[i + 1] - edges[i]) * (clip_idx + 1) / num_clips
+    return np.round(np.clip(index, 0, vid_length - 1)).astype(np.int64)
 
 
 def sample_indices_for_cfg(cfg, split: str, vid_length: int, vid_fps: float, rng: np.random.Generator, clip_idx: int = -1, num_clips: int = 1) -> np.ndarray:
@@ -101,6 +100,5 @@ def sample_indices_for_cfg(cfg, split: str, vid_length: int, vid_fps: float, rng
         num_frames,
         interval,
         target_fps=float(cfg.DATA.get("TARGET_FPS", 30)),
-        minus_interval=bool(cfg.DATA.get("MINUS_INTERVAL", False)),
         rng=rng if split == "train" else None,
     )

@@ -440,3 +440,75 @@ def test_iou_with_anchors_matches_reference():
     got = iou_with_anchors(amin, amax, 0.3, 0.8)
     want = ref_iou(amin, amax, 0.3, 0.8)
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def _load_ref_base_dataset():
+    """Import the reference base_dataset with a throwaway decord stub that
+    is removed from sys.modules immediately (so our own decoder probes are
+    unaffected)."""
+    import sys
+    import types
+
+    import importlib
+
+    had = "decord" in sys.modules
+    if not had:
+        stub = types.ModuleType("decord")
+        stub.VideoReader = object
+        stub.bridge = types.SimpleNamespace(set_bridge=lambda *a: None)
+        stub.cpu = lambda *a: None
+        stub.gpu = lambda *a: None
+        sys.modules["decord"] = stub
+    # the reference "datasets" package collides with HF datasets: import
+    # with /root/reference first on sys.path, grab the class, then evict
+    # every cached datasets.* module so nothing else sees the shadow
+    saved = {k: sys.modules.pop(k) for k in list(sys.modules) if k == "datasets" or k.startswith("datasets.")}
+    sys.path.insert(0, "/root/reference")
+    try:
+        mod = importlib.import_module("datasets.base.base_dataset")
+    finally:
+        sys.path.remove("/root/reference") if sys.path[0] == "/root/reference" else None
+        for k in list(sys.modules):
+            if k == "datasets" or k.startswith("datasets."):
+                sys.modules.pop(k)
+        sys.modules.update(saved)
+        if not had:
+            sys.modules.pop("decord", None)
+    return mod
+
+
+def test_frame_samplers_match_reference():
+    """Deterministic frame-sampler paths vs the reference
+    (_interval_based_sampling :493-530, _segment_based_sampling :571-595):
+    multi-view window placement, linspace/clamp/truncate arithmetic,
+    segment midpoints and (clip+1)/num_clips fractions."""
+    bd = _load_ref_base_dataset()
+
+    from reference_oracle import NS
+
+    from clip_fsar_tpu.data.sampling import interval_indices, segment_indices
+
+    fake = NS(split="test", cfg=NS(DATA=NS(SAMPLING_RATE=4, TARGET_FPS=30)), _num_clips=1)
+
+    for vid_length, fps, clip_idx, num_clips, t, interval in [
+        (300, 30.0, 0, 10, 8, 4),
+        (300, 30.0, 7, 10, 8, 4),
+        (300, 25.0, -10, 1, 8, 4),  # clip_idx fixed center (num_clips 1)
+        (45, 30.0, 2, 5, 8, 4),     # clip_length > vid_length path
+        (64, 12.5, 3, 4, 16, 2),
+    ]:
+        if clip_idx == -10:
+            clip_idx = 0
+            num_clips = 1
+        want = bd.BaseVideoDataset._interval_based_sampling(
+            fake, vid_length, fps, clip_idx, num_clips, t, interval
+        ).numpy()
+        got = interval_indices(vid_length, fps, clip_idx, num_clips, t, interval)
+        np.testing.assert_array_equal(got, want, err_msg=f"L={vid_length} fps={fps} clip={clip_idx}/{num_clips}")
+
+    for vid_length, clip_idx, num_clips, t in [(100, 0, 1, 8), (100, 2, 5, 8), (37, 4, 5, 16), (9, 0, 3, 8)]:
+        want = bd.BaseVideoDataset._segment_based_sampling(
+            fake, vid_length, clip_idx, num_clips, t, False
+        ).numpy()
+        got = segment_indices(vid_length, clip_idx, num_clips, t)
+        np.testing.assert_array_equal(got, want, err_msg=f"L={vid_length} clip={clip_idx}/{num_clips}")

@@ -344,3 +344,42 @@ def test_vivit_factorized_transformer_parity():
         jnp.asarray(x.transpose(0, 2, 3, 4, 1)), deterministic=True,
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_slowfast_fuse_parity():
+    """Lateral fast->slow fusion (reference slowfast.py:119-152)."""
+    import models.base.slowfast as rs
+
+    from clip_fsar_tpu.models.video.meta import FuseFastToSlow as OurFuse
+
+    fast_cfg = NS(
+        VIDEO=NS(BACKBONE=NS(
+            NUM_FILTERS=[8, 16],
+            SLOWFAST=NS(CONV_CHANNEL_RATIO=2, KERNEL_SIZE=5, ALPHA=4, FUSION_CONV_BIAS=False,
+                        FUSION_BN=True, FUSION_RELU=True),
+        )),
+        BN=NS(EPS=1e-5, MOMENTUM=0.1),
+    )
+    torch.manual_seed(3)
+    ref = rs.FuseFastToSlow((None, fast_cfg), stage_idx=1, mode="slowfast").float().eval()
+
+    rng = np.random.RandomState(14)
+    x_slow = rng.randn(2, 32, 2, 4, 4).astype(np.float32)  # [B, C, T/alpha, H, W]
+    x_fast = rng.randn(2, 16, 8, 4, 4).astype(np.float32)
+    with torch.no_grad():
+        want_slow, want_fast = ref(torch.from_numpy(x_slow), torch.from_numpy(x_fast))
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "conv_f2s": {"kernel": _c3(sd["conv_fast_to_slow.weight"])},
+        "bn": {"BatchNorm_0": {"scale": sd["bn.weight"], "bias": sd["bn.bias"]}},
+    }
+    stats = {"bn": {"BatchNorm_0": {"mean": sd["bn.running_mean"], "var": sd["bn.running_var"]}}}
+
+    ours = OurFuse(dim_in=16, fusion_conv_channel_ratio=2, fusion_kernel=5, alpha=4)
+    got_slow, got_fast = ours.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params), "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+        jnp.asarray(x_slow.transpose(0, 2, 3, 4, 1)), jnp.asarray(x_fast.transpose(0, 2, 3, 4, 1)),
+    )
+    np.testing.assert_allclose(np.asarray(got_slow), want_slow.numpy().transpose(0, 2, 3, 4, 1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_fast), want_fast.numpy().transpose(0, 2, 3, 4, 1), rtol=1e-6, atol=1e-7)
