@@ -512,3 +512,63 @@ def test_frame_samplers_match_reference():
         ).numpy()
         got = segment_indices(vid_length, clip_idx, num_clips, t)
         np.testing.assert_array_equal(got, want, err_msg=f"L={vid_length} clip={clip_idx}/{num_clips}")
+
+
+def test_lr_policy_matches_reference():
+    """LR schedules (cosine, steps_with_relative_lrs, linear warmup) vs
+    reference models/utils/lr_policy.py on a dense epoch grid."""
+    import models.utils.lr_policy as rlp
+
+    from reference_oracle import NS
+
+    from clip_fsar_tpu.config import Config
+    from clip_fsar_tpu.train.optimizer import get_lr_at_epoch
+
+    for policy in ("cosine", "steps_with_relative_lrs"):
+        ref_cfg = NS(SOLVER=NS(
+            LR_POLICY=policy, BASE_LR=1e-4, MAX_EPOCH=10, WARMUP_EPOCHS=2, WARMUP_START_LR=1e-6,
+            STEPS=[0, 4, 6], LRS=[1, 0.1, 0.01],
+        ))
+        our_cfg = Config({"SOLVER": {
+            "LR_POLICY": policy, "BASE_LR": 1e-4, "MAX_EPOCH": 10, "WARMUP_EPOCHS": 2,
+            "WARMUP_START_LR": 1e-6, "STEPS": [0, 4, 6], "LRS": [1, 0.1, 0.01],
+        }})
+        for e in np.linspace(0, 9.99, 57):
+            want = rlp.get_lr_at_epoch(ref_cfg, float(e))
+            got = get_lr_at_epoch(our_cfg, float(e))
+            assert abs(got - want) < 1e-12, (policy, e, got, want)
+
+
+def test_label_smoothing_matches_reference():
+    """timm-style smoothing: off = s/C, on = 1 - s + off (reference
+    datasets/utils/mixup.py:25-29)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("ref_mixup", "/root/reference/datasets/utils/mixup.py")
+    rm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rm)
+
+    from clip_fsar_tpu.data.mixup import smooth_one_hot
+
+    labels = np.asarray([0, 3, 2, 1])
+    want = rm.label_smoothing_target(torch.from_numpy(labels), 5, smoothing=0.2, device="cpu").numpy()
+    got = np.asarray(smooth_one_hot(jnp.asarray(labels), 5, smoothing=0.2))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_model_ema_matches_reference():
+    """EMA update e' = d*e + (1-d)*p (reference models/utils/model_ema.py)."""
+    import models.utils.model_ema as rme
+
+    d = 0.9
+    net = torch.nn.Linear(3, 2)
+    ema = rme.ModelEmaV2(net, decay=d)
+    with torch.no_grad():
+        net.weight += 1.0
+    ema.update(net)
+    want = ema.module.weight.detach().numpy()
+
+    # our step does ema = d*e + (1-d)*p on the param pytree
+    e0 = (net.weight.detach().numpy() - 1.0)
+    got = d * e0 + (1 - d) * net.weight.detach().numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-6)
