@@ -459,21 +459,33 @@ def _load_ref_base_dataset():
         stub.cpu = lambda *a: None
         stub.gpu = lambda *a: None
         sys.modules["decord"] = stub
-    # the reference "datasets" package collides with HF datasets: import
-    # with /root/reference first on sys.path, grab the class, then evict
-    # every cached datasets.* module so nothing else sees the shadow
+    try:
+        mod = _scoped_reference_import("datasets.base.base_dataset")
+    finally:
+        if not had:
+            sys.modules.pop("decord", None)
+    return mod
+
+
+def _scoped_reference_import(module_name):
+    """Import a reference module whose package name collides with an
+    installed package (HF 'datasets'): /root/reference goes first on
+    sys.path for the import, then every cached datasets.* module is
+    evicted so nothing else sees the shadow."""
+    import importlib
+    import sys
+
     saved = {k: sys.modules.pop(k) for k in list(sys.modules) if k == "datasets" or k.startswith("datasets.")}
     sys.path.insert(0, "/root/reference")
     try:
-        mod = importlib.import_module("datasets.base.base_dataset")
+        mod = importlib.import_module(module_name)
     finally:
-        sys.path.remove("/root/reference") if sys.path[0] == "/root/reference" else None
+        if sys.path[0] == "/root/reference":
+            sys.path.remove("/root/reference")
         for k in list(sys.modules):
             if k == "datasets" or k.startswith("datasets."):
                 sys.modules.pop(k)
         sys.modules.update(saved)
-        if not had:
-            sys.modules.pop("decord", None)
     return mod
 
 
@@ -561,6 +573,7 @@ def test_model_ema_matches_reference():
     import models.utils.model_ema as rme
 
     d = 0.9
+    torch.manual_seed(9)
     net = torch.nn.Linear(3, 2)
     ema = rme.ModelEmaV2(net, decay=d)
     with torch.no_grad():
@@ -571,4 +584,56 @@ def test_model_ema_matches_reference():
     # our step does ema = d*e + (1-d)*p on the param pytree
     e0 = (net.weight.detach().numpy() - 1.0)
     got = d * e0 + (1 - d) * net.weight.detach().numpy()
-    np.testing.assert_allclose(got, want, rtol=1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_mosi_generator_matches_reference():
+    """MoSI pseudo-motion generator, deterministic parts (reference
+    sslgenerators/mosi/mosi_generator.py): speed-set construction,
+    separate/joint label maps, eval-mode crop trajectory endpoints."""
+    from reference_oracle import NS
+
+    rg = _scoped_reference_import("sslgenerators.mosi.mosi_generator")
+
+    from clip_fsar_tpu.data.mosi import MoSIGenerator as OurGen, build_speed_set
+
+    for num_speeds, decouple, mode, zero_out in [
+        (5, True, "xy", False), (5, True, "xy", True), (3, True, "x", False), (5, False, "xy", False),
+    ]:
+        ref = object.__new__(rg.MoSIGenerator)
+        ref.cfg = NS(PRETRAIN=NS(DECOUPLE=decouple, DATA_MODE=mode, ZERO_OUT=zero_out))
+        ref.num_speeds = num_speeds
+        ref.initialize_speed_set()
+        want_set = [list(s) for s in ref.speed_set]
+        got_set = [list(s) for s in build_speed_set(num_speeds, decouple, mode, zero_out)]
+        assert got_set == want_set, (num_speeds, decouple, mode, zero_out)
+
+        want_sep = ref.generate_separate_labels()
+        speed_min = -(num_speeds // 2)
+        got_x = [s[0] - speed_min - int(s[0] > 0) * int(zero_out) for s in got_set]
+        got_y = [s[1] - speed_min - int(s[1] > 0) * int(zero_out) for s in got_set]
+        np.testing.assert_array_equal(got_x, want_sep["move_x"].numpy())
+        np.testing.assert_array_equal(got_y, want_sep["move_y"].numpy())
+
+        want_joint = ref.generate_joint_labels()["move_joint"].numpy()
+        np.testing.assert_array_equal(np.arange(len(got_set)), want_joint)
+
+    # eval-mode crop trajectory: distance factor 1, centered start
+    ref = object.__new__(rg.MoSIGenerator)
+    ref.cfg = NS(PRETRAIN=NS(DECOUPLE=True, DATA_MODE="xy", ZERO_OUT=False))
+    ref.split = "test"
+    ref.crop_size = 32
+    ref.distance_jitter = (1.0, 1.0)
+
+    our = object.__new__(OurGen)
+    our.split = "test"
+    our.crop_size = 32
+    our.distance_jitter = (1.0, 1.0)
+
+    rng = np.random.default_rng(0)
+    for speed_factor in (-1.0, -0.5, 0.0, 0.5, 1.0):
+        for total in (64, 100):
+            want_start, want_end = ref.get_crop_params(speed_factor, total)
+            got_start, got_end = our._crop_params(speed_factor, total, rng)
+            assert got_start == want_start, (speed_factor, total)
+            assert abs(got_end - want_end) < 1e-9, (speed_factor, total)
