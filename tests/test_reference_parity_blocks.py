@@ -637,3 +637,69 @@ def test_mosi_generator_matches_reference():
             got_start, got_end = our._crop_params(speed_factor, total, rng)
             assert got_start == want_start, (speed_factor, total)
             assert abs(got_end - want_end) < 1e-9, (speed_factor, total)
+
+
+def test_topk_metrics_match_reference():
+    """topks_correct + joint_topks_correct vs reference utils/metrics.py."""
+    import utils.metrics as rm
+
+    from clip_fsar_tpu.utils.metrics import joint_topk_correct, topk_correct
+
+    rng = np.random.RandomState(15)
+    preds = rng.randn(20, 10).astype(np.float32)
+    labels = rng.randint(0, 10, size=20).astype(np.int64)
+    want = [float(v) for v in rm.topks_correct(_t(preds), _t(labels), [1, 5])]
+    got = [float(v) for v in topk_correct(jnp.asarray(preds), jnp.asarray(labels), [1, 5])]
+    assert got == want
+
+    # the reference's joint_topks_correct trips a torch>=2 non-contiguous
+    # .view error (metrics.py:75) — use a numpy oracle of its documented
+    # semantics instead: a joint top-k hit needs verb AND noun each in
+    # their own top-k (metrics.py:12-96)
+    pv = rng.randn(16, 6).astype(np.float32)
+    pn = rng.randn(16, 7).astype(np.float32)
+    lv = rng.randint(0, 6, size=16).astype(np.int64)
+    ln = rng.randint(0, 7, size=16).astype(np.int64)
+
+    def hits(p, l, k):
+        order = np.argsort(-p, axis=1)[:, :k]
+        return (order == l[:, None]).any(1)
+
+    got_joint, got_v, got_n = joint_topk_correct(jnp.asarray(pv), jnp.asarray(pn), jnp.asarray(lv), jnp.asarray(ln), [1, 5])
+    for i, k in enumerate((1, 5)):
+        assert float(got_v[i]) == hits(pv, lv, k).sum()
+        assert float(got_n[i]) == hits(pn, ln, k).sum()
+        assert float(got_joint[i]) == (hits(pv, lv, k) & hits(pn, ln, k)).sum()
+
+
+def test_test_meter_matches_reference():
+    """Multi-view ensembling: our TestMeter's per-video sum/max + top-k
+    must match the reference TestMeter (utils/meters.py:24-176)."""
+    import utils.meters as rmt
+
+    from reference_oracle import NS
+
+    from clip_fsar_tpu.utils.meters import TestMeter
+
+    num_videos, num_clips, num_cls = 6, 3, 5
+    rng = np.random.RandomState(16)
+    labels = rng.randint(0, num_cls, size=num_videos)
+    clip_preds = rng.rand(num_videos * num_clips, num_cls).astype(np.float32)
+
+    for method in ("sum", "max"):
+        ref_cfg = NS(LOG_PERIOD=10, DATA=NS(MULTI_LABEL=False))
+        ref = rmt.TestMeter(ref_cfg, num_videos, num_clips, num_cls, overall_iters=1, ensemble_method=method)
+        ours = TestMeter(num_videos=num_videos, num_clips=num_clips, num_cls=num_cls, ensemble_method=method)
+        clip_ids = np.arange(num_videos * num_clips)
+        vid_labels = labels[clip_ids // num_clips]
+        ref.update_stats(_t(clip_preds), _t(vid_labels.astype(np.int64)), _t(clip_ids.astype(np.int64)))
+        ours.update_stats(clip_preds, vid_labels, clip_ids)
+        ref_scores = ref.video_preds.numpy()
+        np.testing.assert_allclose(ours.video_preds, ref_scores, rtol=1e-6)
+        stats = ours.finalize_metrics(ks=(1, 2))
+        # reference finalize logs strings; recompute its accuracy directly
+        import utils.metrics as rm
+
+        want = [float(v) / num_videos * 100.0 for v in rm.topks_correct(_t(ref_scores.astype(np.float32)), _t(labels.astype(np.int64)), [1, 2])]
+        assert abs(stats["top1_acc"] - want[0]) < 1e-6
+        assert abs(stats["top2_acc"] - want[1]) < 1e-6
