@@ -43,3 +43,32 @@ def test_tensor_parallel_matches_replicated():
     # the qkv/c_fc kernels are actually sharded over 'model'
     k = v_sharded["params"]["backbone"]["transformer"]["resblocks_0"]["attn"]["q_proj"]["kernel"]
     assert "model" in str(k.sharding.spec)
+
+
+def test_remat_and_pallas_configs_compile():
+    """The perf-sweep configurations (remat nothing/dots, pallas
+    attention) must compile and run — guards the bench sweep against
+    config-path rot while real hardware is unavailable."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clip_fsar_tpu.models.clip.model import ARCHS
+    from clip_fsar_tpu.models.heads.clipfsar import CLIPFSARConfig, CLIPFSARHead
+    from tests.test_clipfsar_head import make_episode, WAY, T, C_TRAIN, C_TEST, DIM
+
+    ep = make_episode(0)
+    text_train = jnp.asarray(np.random.RandomState(7).randn(C_TRAIN, DIM).astype(np.float32))
+    text_test = jnp.asarray(np.random.RandomState(8).randn(C_TEST, DIM).astype(np.float32))
+
+    base = CLIPFSARHead(arch=ARCHS["ViT-Tiny-Test"], head_cfg=CLIPFSARConfig(way=WAY, num_frames=T))
+    variables = base.init(jax.random.PRNGKey(0), ep, text_train, text_test, train=False)
+    ref = np.asarray(base.apply(variables, ep, text_train, text_test, train=False)["logits"])
+
+    for kw in ({"remat": True, "remat_policy": "nothing"}, {"remat": True, "remat_policy": "dots"}):
+        head = CLIPFSARHead(arch=ARCHS["ViT-Tiny-Test"], head_cfg=CLIPFSARConfig(way=WAY, num_frames=T), **kw)
+        out = np.asarray(jax.jit(lambda v, e: head.apply(v, e, text_train, text_test, train=False)["logits"])(variables, ep))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-5, err_msg=str(kw))
+        # gradients flow through the remat blocks
+        g = jax.grad(lambda v: head.apply(v, ep, text_train, text_test, train=True, deterministic=True)["logits"].sum())(variables)
+        assert np.isfinite(float(jax.tree_util.tree_leaves(g)[0].sum()))
