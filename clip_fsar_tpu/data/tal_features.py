@@ -33,37 +33,71 @@ from clip_fsar_tpu.utils.registry import DATASET_REGISTRY
 logger = get_logger(__name__)
 
 
-def window_label_maps(tscale: int, dscale: int, segments: np.ndarray, labels: np.ndarray) -> Dict[str, np.ndarray]:
-    """segments: [N, 2] in window-normalized [0, 1] coords; labels [N, 2]."""
-    start_map = np.zeros(tscale, np.float32)
-    end_map = np.zeros(tscale, np.float32)
-    iou_map = np.zeros((dscale, tscale), np.float32)
-    label_map = np.zeros((2, dscale, tscale), np.int32)
-    mask = np.zeros((dscale, tscale), np.float32)
-    d_idx = np.arange(dscale)[:, None]
-    t_idx = np.arange(tscale)[None, :]
-    ends = t_idx + d_idx + 1
-    mask[(ends < tscale)] = 1.0
+def _bmn_geometry(tscale: int, dscale: int):
+    """Exact reference anchor geometry (_init_temporal_tools,
+    epickitchen100_feature.py:106-130): proposal (d, t) spans
+    [t/T, t/T + (d+1)/T] (unclamped; valid when end <= 1); boundary
+    anchors have width 2/T centered at cell edges."""
+    gap = 1.0 / tscale
+    t_idx = np.arange(tscale, dtype=np.float64)
+    d_idx = np.arange(1, dscale + 1, dtype=np.float64)
+    pmin = np.tile(t_idx * gap, (dscale, 1))  # [D, T]
+    pmax = pmin + d_idx[:, None] * gap
+    anchor_xmin = (np.arange(tscale) - 0.5) * gap
+    anchor_xmax = (np.arange(1, tscale + 1) + 0.5) * gap
+    mask = (pmax <= 1.0).astype(np.float32)
+    return pmin, pmax, anchor_xmin, anchor_xmax, mask
 
-    amin = t_idx / tscale * np.ones((dscale, 1))
-    amax = np.minimum(ends, tscale) / tscale
-    for seg, lab in zip(segments, labels):
-        s, e = float(seg[0]), float(seg[1])
-        if e <= 0 or s >= 1 or e <= s:
-            continue
-        # boundary neighborhoods (1.5 cells)
-        for m, t0 in ((start_map, s), (end_map, e)):
-            c = t0 * tscale
-            lo, hi = int(np.floor(c - 1.5)), int(np.ceil(c + 1.5))
-            m[max(lo, 0) : min(hi, tscale)] = 1.0
-        inter = np.maximum(np.minimum(amax, e) - np.maximum(amin, s), 0.0)
-        union = (amax - amin) + (e - s) - inter
-        iou = inter / np.maximum(union, 1e-9)
-        better = iou > iou_map
-        iou_map = np.where(better, iou, iou_map)
-        label_map[0] = np.where(better, int(lab[0]), label_map[0])
-        label_map[1] = np.where(better, int(lab[1]), label_map[1])
-    return {"start_map": start_map, "end_map": end_map, "iou_map": iou_map * mask, "mask": mask, "label_map": label_map}
+
+def _ioa(amin, amax, bmin, bmax):
+    inter = np.maximum(np.minimum(amax, bmax) - np.maximum(amin, bmin), 0.0)
+    return inter / np.maximum(amax - amin, 1e-9)
+
+
+def window_label_maps(tscale: int, dscale: int, segments: np.ndarray, labels: np.ndarray) -> Dict[str, np.ndarray]:
+    """BMN training labels for one window — exact reference arithmetic
+    (_get_bmn_train_label, epickitchen100_feature.py:460-558):
+
+      * segments [N, 2] window-normalized and clamped to [0, 1];
+      * iou_map: per-cell max IoU against all ground truths;
+      * label_map [2, D, T]: verb/noun of the per-cell argmax ground truth;
+      * start/end maps: per-anchor max IoA against 3/T-wide boundary boxes.
+    """
+    pmin, pmax, anchor_xmin, anchor_xmax, mask = _bmn_geometry(tscale, dscale)
+    segments = np.clip(np.asarray(segments, np.float64).reshape(-1, 2), 0.0, 1.0)
+    labels = np.asarray(labels).reshape(-1, 2)
+
+    if segments.shape[0] == 0:
+        return {
+            "start_map": np.zeros(tscale, np.float32),
+            "end_map": np.zeros(tscale, np.float32),
+            "iou_map": np.zeros((dscale, tscale), np.float32),
+            "mask": mask,
+            "label_map": np.zeros((2, dscale, tscale), np.int32),
+        }
+
+    ious = []
+    for s, e in segments:
+        inter = np.maximum(np.minimum(pmax, e) - np.maximum(pmin, s), 0.0)
+        union = (pmax - pmin) + (e - s) - inter
+        ious.append(inter / np.maximum(union, 1e-9))
+    ious = np.stack(ious)  # [N, D, T]
+    best = np.argmax(ious, axis=0)  # [D, T]
+    iou_map = np.max(ious, axis=0).astype(np.float32)
+    label_map = labels[best.reshape(-1)].T.reshape(2, dscale, tscale).astype(np.int32)
+
+    small = 3.0 / tscale
+    starts = np.stack([segments[:, 0] - small / 2, segments[:, 0] + small / 2], axis=1)
+    ends = np.stack([segments[:, 1] - small / 2, segments[:, 1] + small / 2], axis=1)
+    start_map = np.array(
+        [np.max(_ioa(anchor_xmin[j], anchor_xmax[j], starts[:, 0], starts[:, 1])) for j in range(tscale)],
+        np.float32,
+    )
+    end_map = np.array(
+        [np.max(_ioa(anchor_xmin[j], anchor_xmax[j], ends[:, 0], ends[:, 1])) for j in range(tscale)],
+        np.float32,
+    )
+    return {"start_map": start_map, "end_map": end_map, "iou_map": iou_map, "mask": mask, "label_map": label_map}
 
 
 @DATASET_REGISTRY.register(name="Talfeature")

@@ -703,3 +703,50 @@ def test_test_meter_matches_reference():
         want = [float(v) / num_videos * 100.0 for v in rm.topks_correct(_t(ref_scores.astype(np.float32)), _t(labels.astype(np.int64)), [1, 2])]
         assert abs(stats["top1_acc"] - want[0]) < 1e-6
         assert abs(stats["top2_acc"] - want[1]) < 1e-6
+
+
+def test_bmn_label_maps_match_reference():
+    """BMN training-label construction vs the reference
+    (_norm_gt_boxes/_get_bmn_iou_map/_get_start_end,
+    epickitchen100_feature.py:460-558) on identical windows."""
+    import sys
+    import types
+
+    had = "decord" in sys.modules
+    if not had:
+        stub = types.ModuleType("decord")
+        stub.VideoReader = object
+        stub.bridge = types.SimpleNamespace(set_bridge=lambda *a: None)
+        stub.cpu = lambda *a: None
+        stub.gpu = lambda *a: None
+        sys.modules["decord"] = stub
+    try:
+        ef = _scoped_reference_import("datasets.base.epickitchen100_feature")
+    finally:
+        if not had:
+            sys.modules.pop("decord", None)
+
+    from clip_fsar_tpu.data.tal_features import window_label_maps
+
+    tscale = dscale = 16
+    ref = object.__new__(ef.Epickitchen100localization)
+    ref.tscale, ref.dscale = tscale, dscale
+    ref._init_temporal_tools()
+
+    rng = np.random.RandomState(17)
+    duration = 10.0
+    seg_time = [0.0, duration]
+    gt_time = np.sort(rng.rand(4, 2) * duration, axis=1)
+    gt_time[:, 1] += 0.3  # non-degenerate
+    labels = rng.randint(0, 5, size=(4, 2)).astype(np.int64)
+
+    want_start, want_end, want_iou, want_label = ref._get_bmn_train_label(gt_time, labels, seg_time)
+
+    segments = np.clip(gt_time / duration, 0, 1)
+    got = window_label_maps(tscale, dscale, segments, labels)
+    np.testing.assert_allclose(got["start_map"], want_start.numpy(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(got["end_map"], want_end.numpy(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(got["iou_map"], want_iou.numpy(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(got["label_map"], want_label.numpy())
+    # validity mask equals the reference's bm_mask
+    np.testing.assert_array_equal(got["mask"], ref.iou_map_mask.numpy())
