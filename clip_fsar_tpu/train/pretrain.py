@@ -203,6 +203,11 @@ def _load_raw(path: str) -> Optional[Dict[str, Any]]:
         # remote checkpoint (reference bucket.py download path): fetch to
         # the local cache first
         path = fetch(path)
+    if path.endswith((".pyth", ".pth", ".pt")) and os.path.isfile(path):
+        # reference-framework torch checkpoint (utils/checkpoint.py format)
+        from clip_fsar_tpu.models.convert_reference import load_reference_checkpoint
+
+        return load_reference_checkpoint(path)
     if path.endswith(".npz") and os.path.isfile(path):
         flat = dict(np.load(path))
         tree = unflatten_tree(flat)

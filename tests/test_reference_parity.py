@@ -276,3 +276,29 @@ def test_rn50_train_logits_parity_batch_stat_bn():
     train_backbone_bn=True."""
     pair = _Pair("rn", USE_CLASSIFICATION=True)
     _assert_logits_match(pair, train=True, seed=17, atol=1e-3)
+
+
+def test_reference_pyth_checkpoint_loads_and_matches(tmp_path, vit_pair):
+    """A reference-format .pyth checkpoint (torch.save of
+    {'model_state': head.state_dict()}, utils/checkpoint.py:122-129)
+    converts into our head tree and reproduces the reference logits —
+    released reference checkpoints evaluate in this framework via
+    TEST.CHECKPOINT_FILE_PATH."""
+    import os
+
+    from clip_fsar_tpu.train.pretrain import load_checkpoint_file
+    from clip_fsar_tpu.config import Config
+
+    path = os.path.join(tmp_path, "ckpt.pyth")
+    torch.save({"epoch": 3, "model_state": {f"head.{k}": v for k, v in vit_pair.ref.state_dict().items()}}, path)
+
+    template = jax.tree_util.tree_map(jnp.zeros_like, vit_pair.head_vars)
+    cfg = Config({"TRAIN": {}})
+    variables, ok = load_checkpoint_file(cfg, path, template)
+    assert ok
+
+    ep, task = _make_episode(30)
+    with torch.no_grad():
+        want = vit_pair.ref(task)["logits"].numpy()
+    got = vit_pair.head.apply(variables, ep, vit_pair.text_train, vit_pair.text_test, train=False, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got["logits"]), want, rtol=1e-4, atol=5e-4)
