@@ -383,3 +383,60 @@ def test_slowfast_fuse_parity():
     )
     np.testing.assert_allclose(np.asarray(got_slow), want_slow.numpy().transpose(0, 2, 3, 4, 1), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_fast), want_fast.numpy().transpose(0, 2, 3, 4, 1), rtol=1e-6, atol=1e-7)
+
+
+def test_transformer_and_slowfast_heads_parity():
+    """Classification heads vs reference modules: TransformerHead with
+    tanh pre-logits (transformer_head.py:16-75) and SlowFastHead two-
+    pathway GAP+concat+FC (slowfast_head.py:14-105)."""
+    import models.module_zoo.heads.slowfast_head as sh
+    import models.module_zoo.heads.transformer_head as th
+
+    from clip_fsar_tpu.models.video.model import SlowFastHead as OurSF, TransformerHead as OurTH
+
+    dim, ncls = 12, 5
+    ref_cfg = NS(
+        VISUALIZATION=NS(ENABLE=False, FEATURE_MAPS=NS(ENABLE=False)),
+        VIDEO=NS(BACKBONE=NS(NUM_FEATURES=dim, NUM_OUT_FEATURES=dim),
+                 HEAD=NS(NUM_CLASSES=ncls, DROPOUT_RATE=0.0, ACTIVATION="softmax", PRE_LOGITS=True)),
+    )
+    torch.manual_seed(6)
+    ref = th.TransformerHead(ref_cfg).float().eval()
+    rng = np.random.RandomState(18)
+    x = rng.randn(4, dim).astype(np.float32)
+    with torch.no_grad():
+        want, _ = ref(torch.from_numpy(x))
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    our_cfg = Config({"VIDEO": {"HEAD": {"NUM_CLASSES": ncls, "DROPOUT_RATE": 0.0, "ACTIVATION": "softmax", "PRE_LOGITS": True}}})
+    params = {
+        "pre_logits": {"kernel": sd["pre_logits.fc.weight"].T, "bias": sd["pre_logits.fc.bias"]},
+        "linear": {"kernel": sd["linear.weight"].T, "bias": sd["linear.bias"]},
+    }
+    got, _ = OurTH(cfg=our_cfg).apply({"params": jax.tree_util.tree_map(jnp.asarray, params)}, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-5, atol=1e-6)
+
+    # SlowFast head: reference input is [slow NCTHW, fast NCTHW];
+    # slowfast-mode dim = slow + slow//BETA
+    beta = 4
+    sf_ref_cfg = NS(
+        VISUALIZATION=NS(ENABLE=False, FEATURE_MAPS=NS(ENABLE=False)),
+        VIDEO=NS(BACKBONE=NS(NUM_OUT_FEATURES=dim, SLOWFAST=NS(MODE="slowfast", BETA=beta)),
+                 HEAD=NS(NUM_CLASSES=ncls, DROPOUT_RATE=0.0, ACTIVATION="softmax")),
+    )
+    torch.manual_seed(7)
+    sf_ref = sh.SlowFastHead(sf_ref_cfg).float().eval()
+    slow = rng.randn(3, dim, 2, 4, 4).astype(np.float32)
+    fast = rng.randn(3, dim // beta, 8, 4, 4).astype(np.float32)
+    with torch.no_grad():
+        sf_want, _ = sf_ref([torch.from_numpy(slow), torch.from_numpy(fast)])
+
+    sf_sd = {k: v.detach().numpy() for k, v in sf_ref.state_dict().items()}
+    sf_cfg = Config({"VIDEO": {"HEAD": {"NUM_CLASSES": ncls, "DROPOUT_RATE": 0.0, "ACTIVATION": "softmax", "MODE": "slowfast"}}})
+    sf_params = {"out": {"kernel": sf_sd["out.weight"].T, "bias": sf_sd["out.bias"]}}
+    sf_got, _ = OurSF(cfg=sf_cfg).apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, sf_params)},
+        [jnp.asarray(slow.transpose(0, 2, 3, 4, 1)), jnp.asarray(fast.transpose(0, 2, 3, 4, 1))],
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(sf_got), sf_want.numpy(), rtol=1e-5, atol=1e-6)
