@@ -440,3 +440,101 @@ def test_transformer_and_slowfast_heads_parity():
         train=False,
     )
     np.testing.assert_allclose(np.asarray(sf_got), sf_want.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_resnet3d_backbone_parity():
+    """Full ResNet3D meta-arch (reference backbone.py:30-89): Base3DStem +
+    four Base3DResStage stages of R2D3D blocks with shortcut convs —
+    validates the stage/stride/shortcut wiring end to end (depth 10:
+    one block per stage)."""
+    import models.base.backbone as rb
+
+    from clip_fsar_tpu.models.video.meta import ResNet3D as OurRN
+
+    depth = 10
+    bb = {
+        "DEPTH": depth,
+        "NUM_FILTERS": [4, 8, 8, 16, 16],
+        "DOWNSAMPLING": [True, False, True, True, True],
+        "DOWNSAMPLING_TEMPORAL": [False, False, False, True, False],
+        "KERNEL_SIZE": [[1, 3, 3], [1, 3, 3], [1, 3, 3], [3, 3, 3], [3, 3, 3]],
+        "EXPANSION_RATIO": 2,
+        "INITIALIZATION": "kaiming",
+        "STEM": {"NAME": "Base3DStem"},
+        "BRANCH": {"NAME": "R2D3DBranch"},
+        "NONLOCAL": {"ENABLE": False, "STAGES": []},
+    }
+    ref_cfg = NS(
+        VISUALIZATION=NS(ENABLE=False, FEATURE_MAPS=NS(ENABLE=False)),
+        VIDEO=NS(BACKBONE=NS(
+            DEPTH=depth, NUM_FILTERS=bb["NUM_FILTERS"], DOWNSAMPLING=bb["DOWNSAMPLING"],
+            DOWNSAMPLING_TEMPORAL=bb["DOWNSAMPLING_TEMPORAL"], KERNEL_SIZE=bb["KERNEL_SIZE"],
+            EXPANSION_RATIO=2, INITIALIZATION="kaiming", NUM_INPUT_CHANNELS=3,
+            STEM=NS(NAME="Base3DStem"), BRANCH=NS(NAME="R2D3DBranch"),
+            NONLOCAL=NS(ENABLE=False, STAGES=[]),
+        )),
+        BN=NS(MOMENTUM=0.1, EPS=1e-5),
+        DATA=NS(TRAIN_CROP_SIZE=16, NUM_INPUT_FRAMES=4),
+    )
+    our_cfg = Config({
+        "VIDEO": {"BACKBONE": bb},
+        "BN": {"MOMENTUM": 0.1, "EPS": 1e-5},
+        "DATA": {"TRAIN_CROP_SIZE": 16, "NUM_INPUT_FRAMES": 4},
+    })
+
+    torch.manual_seed(8)
+    ref = rb.ResNet3D(ref_cfg).float().eval()
+    rng = np.random.RandomState(19)
+    x = rng.randn(2, 3, 4, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats = {}, {}
+
+    def put(pfx_ours, pfx_ref):
+        """map one conv/bn pair namespace"""
+        for key in list(sd):
+            if not key.startswith(pfx_ref + "."):
+                continue
+            rest = key[len(pfx_ref) + 1 :]
+            parts = rest.split(".")
+            leaf = parts[-1]
+            mod = ".".join(parts[:-1])
+            if "bn" in mod.split(".")[-1] or mod.endswith("short_cut_bn"):
+                tgt = params
+                node = tgt.setdefault(pfx_ours, {})
+                for p_ in mod.split("."):
+                    node = node.setdefault(p_, {})
+                node = node.setdefault("BatchNorm_0", {})
+                snode = stats.setdefault(pfx_ours, {})
+                for p_ in mod.split("."):
+                    snode = snode.setdefault(p_, {})
+                snode = snode.setdefault("BatchNorm_0", {})
+                if leaf == "weight":
+                    node["scale"] = sd[key]
+                elif leaf == "bias":
+                    node["bias"] = sd[key]
+                elif leaf == "running_mean":
+                    snode["mean"] = sd[key]
+                elif leaf == "running_var":
+                    snode["var"] = sd[key]
+            elif leaf == "weight":
+                node = params.setdefault(pfx_ours, {})
+                for p_ in mod.split("."):
+                    node = node.setdefault(p_, {})
+                node["kernel"] = _c3(sd[key])
+            elif leaf == "bias":
+                node = params.setdefault(pfx_ours, {})
+                for p_ in mod.split("."):
+                    node = node.setdefault(p_, {})
+                node["bias"] = sd[key]
+
+    for name in ("conv1", "conv2", "conv3", "conv4", "conv5"):
+        put(name, name)
+
+    got = OurRN(cfg=our_cfg).apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params), "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+        jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
+    )
+    np.testing.assert_allclose(np.asarray(got), want.transpose(0, 2, 3, 4, 1), rtol=1e-4, atol=1e-4)
