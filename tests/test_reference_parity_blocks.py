@@ -750,3 +750,46 @@ def test_bmn_label_maps_match_reference():
     np.testing.assert_array_equal(got["label_map"], want_label.numpy())
     # validity mask equals the reference's bm_mask
     np.testing.assert_array_equal(got["mask"], ref.iou_map_mask.numpy())
+
+
+def test_detection_ap_matches_reference():
+    """Per-class interpolated-AP detection scoring vs the reference
+    compute_average_precision_detection (eval_epic_detection.py:256-…)
+    on identical GT/prediction sets across tIoU thresholds."""
+    import pandas as pd
+    from utils.eval_tal.eval_epic_detection import compute_average_precision_detection
+
+    from clip_fsar_tpu.utils.tal import detection_map
+
+    rng = np.random.RandomState(20)
+    videos = [f"v{i}" for i in range(4)]
+    tious = (0.3, 0.5, 0.7)
+
+    gt = {v: [] for v in videos}
+    preds = {v: [] for v in videos}
+    # one class (label 0) so our per-class AP == the reference function
+    for v in videos:
+        for _ in range(3):
+            s = rng.rand() * 8
+            e = s + 0.5 + rng.rand() * 2
+            gt[v].append((s, e, 0))
+        for _ in range(6):
+            s = rng.rand() * 8
+            e = s + 0.3 + rng.rand() * 2.5
+            preds[v].append((s, e, float(rng.rand()), 0))
+
+    got = detection_map(gt, preds, tiou_thresholds=tious)
+
+    rows_gt = [(v, s, e) for v, gs in gt.items() for (s, e, _) in gs]
+    rows_pr = [(v, s, e, sc) for v, ps in preds.items() for (s, e, sc, _) in ps]
+    gt_df = pd.DataFrame(rows_gt, columns=["video-id", "t-start", "t-end"])
+    pr_df = pd.DataFrame(rows_pr, columns=["video-id", "t-start", "t-end", "score"])
+    # the reference uses np.float (removed in numpy>=1.24) — shim it
+    np.float = float  # type: ignore[attr-defined]
+    try:
+        want = compute_average_precision_detection(gt_df, pr_df, tiou_thresholds=np.asarray(tious))
+    finally:
+        del np.float  # type: ignore[attr-defined]
+
+    for i, thr in enumerate(tious):
+        assert abs(got[f"mAP@{thr}"] - float(want[i])) < 1e-9, (thr, got[f"mAP@{thr}"], want[i])
