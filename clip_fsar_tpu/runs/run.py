@@ -99,6 +99,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     cfg = load_config(args.cfg_file, args.opts)
     setup_logging(cfg.get("OUTPUT_DIR", None))
     logger.info("TASK_TYPE=%s OUTPUT_DIR=%s", cfg.get("TASK_TYPE"), cfg.get("OUTPUT_DIR"))
+    if cfg.get("LOG_CONFIG_INFO", True) and cfg.get("OUTPUT_DIR", None):
+        # persist the fully-resolved config (reference cfg.dump() to
+        # OUTPUT_CFG_FILE, utils/config.py:261-263)
+        cfg.dump(os.path.join(cfg.OUTPUT_DIR, str(cfg.get("OUTPUT_CFG_FILE", "configuration.log"))))
 
     for run_cfg, run_name in _run_list(cfg):
         cfg = run_cfg
