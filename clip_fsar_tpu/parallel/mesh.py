@@ -119,3 +119,33 @@ def check_batch_divisible(episodes_per_step: int, mesh: Mesh) -> None:
             f"TPU.EPISODES_PER_STEP={episodes_per_step} must be divisible by the "
             f"data-mesh size {n} (each device takes an equal episode slice)"
         )
+
+
+def maybe_init_distributed(cfg=None) -> bool:
+    """Multi-host initialization (replaces reference utils/launcher.py:9-36
+    + PAI env parsing :21-27): when a multi-process environment is
+    detected (JAX coordinator vars, or the reference's RANK/WORLD_SIZE
+    convention with a coordinator address), call
+    ``jax.distributed.initialize()`` so ``jax.devices()`` spans all hosts
+    and the same mesh code runs over ICI/DCN.  Single-host runs are a
+    no-op.  Returns True when distributed mode was initialized."""
+    import os
+
+    if jax.process_count() > 1:
+        return True  # already initialized
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS")
+    world = int(os.environ.get("WORLD_SIZE", os.environ.get("JAX_NUM_PROCESSES", "1")) or "1")
+    rank = int(os.environ.get("RANK", os.environ.get("JAX_PROCESS_ID", "0")) or "0")
+    pai = bool(cfg.get("PAI", False)) if cfg is not None else False
+    if world > 1 and (coord or pai):
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=world,
+            process_id=rank,
+        )
+        if cfg is not None:
+            # reference cfg bookkeeping (launcher.py:21-27)
+            cfg.SHARD_ID = rank
+            cfg.NUM_SHARDS = world
+        return True
+    return False

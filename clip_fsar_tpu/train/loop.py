@@ -89,6 +89,9 @@ def evaluate(cfg, model, variables, mesh, num_tasks: int, episodes_per_step: int
 
 def train_few_shot(cfg) -> Dict[str, float]:
     setup_logging(cfg.get("OUTPUT_DIR", None))
+    from clip_fsar_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed(cfg)
     mesh = build_mesh(cfg)
     e = int(cfg.TPU.get("EPISODES_PER_STEP", 1))
     n_dev = mesh.devices.size

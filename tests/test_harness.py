@@ -72,3 +72,18 @@ def test_remat_and_pallas_configs_compile():
         # gradients flow through the remat blocks
         g = jax.grad(lambda v: head.apply(v, ep, text_train, text_test, train=True, deterministic=True)["logits"].sum())(variables)
         assert np.isfinite(float(jax.tree_util.tree_leaves(g)[0].sum()))
+
+
+def test_maybe_init_distributed_noop_single_host(monkeypatch):
+    """Single-host (no coordinator env) is a no-op; the reference RANK/
+    WORLD_SIZE convention is recognized only with a coordinator address."""
+    from clip_fsar_tpu.parallel.mesh import maybe_init_distributed
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "WORLD_SIZE", "RANK"):
+        monkeypatch.delenv(var, raising=False)
+    assert maybe_init_distributed() is False
+
+    monkeypatch.setenv("WORLD_SIZE", "4")
+    monkeypatch.setenv("RANK", "1")
+    # no coordinator address and PAI unset -> still a no-op
+    assert maybe_init_distributed() is False
