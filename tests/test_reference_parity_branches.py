@@ -538,3 +538,105 @@ def test_resnet3d_backbone_parity():
         jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
     )
     np.testing.assert_allclose(np.asarray(got), want.transpose(0, 2, 3, 4, 1), rtol=1e-4, atol=1e-4)
+
+
+def test_inception3d_backbone_parity():
+    """Full S3DG Inception3D backbone (reference backbone.py:91-180):
+    stem + 2b/2c convs + 9 inception blocks + max-pools, with self-gating,
+    validating the channel table and pooling placement end to end."""
+    import models.base.backbone as rb
+
+    from clip_fsar_tpu.models.video.meta import Inception3D as OurI3D
+
+    ref_cfg = NS(
+        VISUALIZATION=NS(ENABLE=False, FEATURE_MAPS=NS(ENABLE=False)),
+        VIDEO=NS(BACKBONE=NS(STEM=NS(NAME="STConv3d"), BRANCH=NS(NAME="STConv3d", GATING=True))),
+        DATA=NS(NUM_INPUT_CHANNELS=3),
+        BN=NS(MOMENTUM=0.1, EPS=1e-5),
+    )
+    our_cfg = Config({
+        "VIDEO": {"BACKBONE": {"STEM": {"NAME": "STConv3d"}, "BRANCH": {"NAME": "STConv3d", "GATING": True}}},
+        "DATA": {"NUM_INPUT_CHANNELS": 3},
+        "BN": {"MOMENTUM": 0.1, "EPS": 1e-5},
+    })
+    torch.manual_seed(10)
+    ref = rb.Inception3D(ref_cfg).float().eval()
+    # s3d convs init at std=0.01; bump for non-trivial activations
+    for name, p_ in ref.named_parameters():
+        if "conv" in name.lower() and p_.ndim == 5:
+            torch.nn.init.normal_(p_, std=0.08)
+
+    rng = np.random.RandomState(21)
+    x = rng.randn(1, 3, 8, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats = {}, {}
+
+    def put_bn(pnode, snode, src):
+        pnode["BatchNorm_0"] = {"scale": sd[f"{src}.weight"], "bias": sd[f"{src}.bias"]}
+        snode["BatchNorm_0"] = {"mean": sd[f"{src}.running_mean"], "var": sd[f"{src}.running_var"]}
+
+    def put_base(name, src):
+        params[name] = {"conv": {"kernel": _c3(sd[f"{src}.conv.weight"])}, "bn": {}}
+        stats[name] = {"bn": {}}
+        put_bn(params[name]["bn"], stats[name]["bn"], f"{src}.bn")
+
+    def put_st(name, src):
+        params[name] = {
+            "conv1": {"kernel": _c3(sd[f"{src}.conv1.weight"])},
+            "conv2": {"kernel": _c3(sd[f"{src}.conv2.weight"])},
+            "bn1": {}, "bn2": {},
+        }
+        stats[name] = {"bn1": {}, "bn2": {}}
+        put_bn(params[name]["bn1"], stats[name]["bn1"], f"{src}.bn1")
+        put_bn(params[name]["bn2"], stats[name]["bn2"], f"{src}.bn2")
+        if f"{src}.conv1.bias" in sd:
+            params[name]["conv1"]["bias"] = sd[f"{src}.conv1.bias"]
+        if f"{src}.conv2.bias" in sd:
+            params[name]["conv2"]["bias"] = sd[f"{src}.conv2.bias"]
+
+    def put_mixed(name):
+        p, s = {}, {}
+        for ours_b, ref_b, kind in (
+            ("branch0", f"{name}.branch0.0", "base"),
+            ("branch1_0", f"{name}.branch1.0", "base"),
+            ("branch1_1", f"{name}.branch1.1", "st"),
+            ("branch2_0", f"{name}.branch2.0", "base"),
+            ("branch2_1", f"{name}.branch2.1", "st"),
+            ("branch3", f"{name}.branch3.1", "base"),
+        ):
+            if kind == "base":
+                p[ours_b] = {"conv": {"kernel": _c3(sd[f"{ref_b}.conv.weight"])}, "bn": {}}
+                s[ours_b] = {"bn": {}}
+                put_bn(p[ours_b]["bn"], s[ours_b]["bn"], f"{ref_b}.bn")
+            else:
+                p[ours_b] = {
+                    "conv1": {"kernel": _c3(sd[f"{ref_b}.conv1.weight"])},
+                    "conv2": {"kernel": _c3(sd[f"{ref_b}.conv2.weight"])},
+                    "bn1": {}, "bn2": {},
+                }
+                if f"{ref_b}.conv1.bias" in sd:
+                    p[ours_b]["conv1"]["bias"] = sd[f"{ref_b}.conv1.bias"]
+                if f"{ref_b}.conv2.bias" in sd:
+                    p[ours_b]["conv2"]["bias"] = sd[f"{ref_b}.conv2.bias"]
+                s[ours_b] = {"bn1": {}, "bn2": {}}
+                put_bn(p[ours_b]["bn1"], s[ours_b]["bn1"], f"{ref_b}.bn1")
+                put_bn(p[ours_b]["bn2"], s[ours_b]["bn2"], f"{ref_b}.bn2")
+        for i in range(4):
+            p[f"gating_b{i}"] = {"fc": {"kernel": sd[f"{name}.gating_b{i}.fc.weight"].T, "bias": sd[f"{name}.gating_b{i}.fc.bias"]}}
+        params[name] = p
+        stats[name] = s
+
+    put_st("Conv_1a", "Conv_1a")
+    put_base("Conv_2b", "Conv_2b")
+    put_st("Conv_2c", "Conv_2c")
+    for m in ("Mixed_3b", "Mixed_3c", "Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e", "Mixed_4f", "Mixed_5b", "Mixed_5c"):
+        put_mixed(m)
+
+    got = OurI3D(cfg=our_cfg).apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params), "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+        jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
+    )
+    np.testing.assert_allclose(np.asarray(got), want.transpose(0, 2, 3, 4, 1), rtol=1e-3, atol=1e-3)
