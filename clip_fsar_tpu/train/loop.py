@@ -54,27 +54,33 @@ def evaluate(cfg, model, variables, mesh, num_tasks: int, episodes_per_step: int
     e = episodes_per_step or int(cfg.TPU.get("EPISODES_PER_STEP", 1))
     e = max(e // mesh.devices.size, 1) * mesh.devices.size  # round to mesh-divisible
     check_batch_divisible(e, mesh)
-    num_steps = max(num_tasks // e, 1)
+    # exactly num_tasks episodes are counted (reference cuts the loop at
+    # NUM_TEST_TASKS, test_net_few_shot.py:57): surplus episodes of the
+    # last (ceil) batch are dropped from the accounting
+    num_steps = max(-(-num_tasks // e), 1)
     variables = shard_params(variables, mesh)
 
     top1 = top5 = count = 0
     loss_sum = 0.0
+    episodes_left = max(num_tasks, e)
     per_class = collections.defaultdict(lambda: [0, 0])  # real label -> [correct, total]
     with build_few_shot_loader(cfg, split, num_steps=num_steps, episodes_per_step=e) as loader:
         for batch in loader:
             out = jax.device_get(eval_step(variables, shard_batch(batch, mesh)))
-            top1 += out["top1_correct"].sum()
-            top5 += out["top5_correct"].sum()
-            count += out["count"].sum()
-            loss_sum += float(out["loss"].mean())
-            for real, corr in zip(out["real_labels"].reshape(-1), out["correct"].reshape(-1)):
+            take = min(e, episodes_left)
+            episodes_left -= take
+            top1 += out["top1_correct"][:take].sum()
+            top5 += out["top5_correct"][:take].sum()
+            count += out["count"][:take].sum()
+            loss_sum += float(out["loss"][:take].mean())
+            for real, corr in zip(out["real_labels"][:take].reshape(-1), out["correct"][:take].reshape(-1)):
                 per_class[int(real)][0] += corr
                 per_class[int(real)][1] += 1
     stats = {
         "top1_acc": float(top1) / max(count, 1) * 100.0,
         "top5_acc": float(top5) / max(count, 1) * 100.0,
         "loss": loss_sum / max(num_steps, 1),
-        "episodes": int(num_steps * e),
+        "episodes": int(count / max(out["count"][0], 1)) if num_steps else 0,
     }
     src = cfg.TEST if split != "train" else cfg.TRAIN
     class_names = list(src.get("CLASS_NAME", []) or [])

@@ -640,3 +640,36 @@ def test_inception3d_backbone_parity():
         jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
     )
     np.testing.assert_allclose(np.asarray(got), want.transpose(0, 2, 3, 4, 1), rtol=1e-3, atol=1e-3)
+
+
+def test_simple_localization_conv_parity():
+    """TAL feature backbone: grouped temporal convs + relu stack
+    (reference backbone.py:182-218)."""
+    import models.base.backbone as rb
+
+    from clip_fsar_tpu.models.video.meta import SimpleLocalizationConv as OurSLC
+
+    dim1d, layers, groups, cin, t = 12, 3, 4, 8, 10
+    ref_cfg = NS(
+        VISUALIZATION=NS(ENABLE=False, FEATURE_MAPS=NS(ENABLE=False)),
+        DATA=NS(NUM_INPUT_CHANNELS=cin),
+        VIDEO=NS(DIM1D=dim1d, BACKBONE_LAYER=layers, BACKBONE_GROUPS_NUM=groups),
+    )
+    torch.manual_seed(11)
+    ref = rb.SimpleLocalizationConv(ref_cfg).float().eval()
+    rng = np.random.RandomState(22)
+    x = rng.randn(2, cin, t).astype(np.float32)
+    with torch.no_grad():
+        want = ref({"video": torch.from_numpy(x)})["video"].numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {}
+    for i in range(layers):
+        w = sd[f"conv_layer.{2 * i}.weight"]  # [O, I/g, k]
+        params[f"conv_{i}"] = {"kernel": w.transpose(2, 1, 0), "bias": sd[f"conv_layer.{2 * i}.bias"]}
+
+    our_cfg = Config({"VIDEO": {"DIM1D": dim1d, "BACKBONE_LAYER": layers, "BACKBONE_GROUPS_NUM": groups}})
+    got = OurSLC(cfg=our_cfg).apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)}, jnp.asarray(x.transpose(0, 2, 1))
+    )
+    np.testing.assert_allclose(np.asarray(got), want.transpose(0, 2, 1), rtol=1e-5, atol=1e-5)
