@@ -186,9 +186,15 @@ def train(cfg) -> Dict[str, float]:
                      "loss": round(loss_meter.get_win_median(), 5), "top1": round(float(m["top1"]) * 100, 2), "lr": lr},
                     logger,
                 )
-        if (cur_epoch + num_folds) % eval_period < num_folds or cur_epoch + num_folds >= max_epoch:
+        from clip_fsar_tpu.utils.misc import is_checkpoint_epoch, is_eval_epoch
+
+        # reference cadence (misc.py:168-180, checkpoint.py:89-99), checked
+        # for every epoch this fold-step covered
+        covered = range(cur_epoch, min(cur_epoch + num_folds, max_epoch))
+        if any(is_eval_epoch(cfg, e_) for e_ in covered):
             stats = _eval_epoch(cfg, model, jax.device_get(state).model_variables, eval_step, mesh)
             best_top1 = max(best_top1, stats["top1_acc"])
+        if any(is_checkpoint_epoch(cfg, e_) for e_ in covered):
             ckpt.save(cur_epoch + num_folds, jax.device_get(state))
     ckpt.save(max_epoch, jax.device_get(state))
     ckpt.close()

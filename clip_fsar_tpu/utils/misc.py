@@ -83,3 +83,29 @@ def log_model_info(params, forward_fn: Optional[Callable] = None, *args, label: 
         info.update(mem)
     log_json_stats(info, logger)
     return info
+
+
+def is_eval_epoch(cfg, cur_epoch: int) -> bool:
+    """Exact reference semantics (utils/misc.py:168-180): evaluate when
+    (cur_epoch+1) is a multiple of TRAIN.EVAL_PERIOD, or always within the
+    last 10 epochs (non-pretrain runs)."""
+    period = int(cfg.TRAIN.get("EVAL_PERIOD", 0) or 0)
+    if period == 0:
+        return False
+    max_epoch = int(cfg.SOLVER.MAX_EPOCH)
+    pretrain = bool(cfg.get("PRETRAIN", {}).get("ENABLE", False)) if "PRETRAIN" in cfg else False
+    if cur_epoch + 1 >= max_epoch - 10 and not pretrain:
+        return True
+    return (cur_epoch + 1) % period == 0
+
+
+def is_checkpoint_epoch(cfg, cur_epoch: int) -> bool:
+    """Exact reference semantics (utils/checkpoint.py:89-99): checkpoint on
+    CHECKPOINT_PERIOD multiples, the final epoch, or the last 10 epochs
+    (non-pretrain runs)."""
+    max_epoch = int(cfg.SOLVER.MAX_EPOCH)
+    pretrain = bool(cfg.get("PRETRAIN", {}).get("ENABLE", False)) if "PRETRAIN" in cfg else False
+    if cur_epoch + 1 >= max_epoch - 10 and not pretrain:
+        return True
+    period = int(cfg.TRAIN.get("CHECKPOINT_PERIOD", 10) or 10)
+    return (cur_epoch + 1) % period == 0 or cur_epoch + 1 == max_epoch

@@ -793,3 +793,29 @@ def test_detection_ap_matches_reference():
 
     for i, thr in enumerate(tious):
         assert abs(got[f"mAP@{thr}"] - float(want[i])) < 1e-9, (thr, got[f"mAP@{thr}"], want[i])
+
+
+def test_epoch_cadence_matches_reference():
+    """is_eval_epoch / is_checkpoint_epoch vs the reference helpers
+    (misc.py:168-180, checkpoint.py:89-99) over a dense epoch grid."""
+    import utils.checkpoint as rckp
+    import utils.misc as rmisc
+
+    from reference_oracle import NS
+
+    from clip_fsar_tpu.config import Config
+    from clip_fsar_tpu.utils.misc import is_checkpoint_epoch, is_eval_epoch
+
+    ref_cfg = NS(
+        TRAIN=NS(EVAL_PERIOD=5, CHECKPOINT_PERIOD=7),
+        OPTIMIZER=NS(MAX_EPOCH=50),
+        PRETRAIN=NS(ENABLE=False),
+    )
+    our_cfg = Config({
+        "TRAIN": {"EVAL_PERIOD": 5, "CHECKPOINT_PERIOD": 7},
+        "SOLVER": {"MAX_EPOCH": 50},
+        "PRETRAIN": {"ENABLE": False},
+    })
+    for e in range(50):
+        assert is_eval_epoch(our_cfg, e) == rmisc.is_eval_epoch(ref_cfg, e), e
+        assert is_checkpoint_epoch(our_cfg, e) == rckp.is_checkpoint_epoch(ref_cfg, e), e
