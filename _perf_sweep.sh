@@ -16,5 +16,6 @@ run --remat-policy dots --episodes 2
 run                     --episodes 2          # baseline regression
 run --remat-policy dots --episodes 4 --attention pallas
 run --no-remat --episodes 2
+run --remat-policy dots --episodes 4 --scan-layers
 run --eval --episodes 8
 echo "SWEEP DONE" >> "$OUT"

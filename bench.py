@@ -44,6 +44,7 @@ def main() -> int:
     p.add_argument("--remat-policy", default="", choices=["", "nothing", "dots"])
     p.add_argument("--attention", default="", choices=["", "xla", "pallas"])
     p.add_argument("--dtype", default="", choices=["", "bfloat16", "float32"])
+    p.add_argument("--scan-layers", action="store_true", help="lax.scan over transformer depth")
     p.add_argument("--profile", default="", help="write a jax.profiler trace to this dir")
     p.add_argument("--loader", action="store_true", help="benchmark the host episode pipeline instead of the device step")
     args = p.parse_args()
@@ -52,11 +53,13 @@ def main() -> int:
         return bench_loader(args)
 
     if args.quick:
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        # force CPU even when the shell pins JAX_PLATFORMS to the TPU
+        # plugin — the smoke bench must never touch (or hang on) the tunnel
+        os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
 
         try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+            jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
         args.backbone, args.res, args.frames = "ViT-Tiny-Test", 64, 4
@@ -89,6 +92,8 @@ def main() -> int:
         cfg.TPU.PALLAS_ATTENTION = args.attention == "pallas"
     if args.dtype:
         cfg.TPU.COMPUTE_DTYPE = args.dtype
+    if args.scan_layers:
+        cfg.TPU.SCAN_LAYERS = True
     mesh = build_mesh(cfg)
 
     model = build_few_shot_model(cfg, jax.random.PRNGKey(0))

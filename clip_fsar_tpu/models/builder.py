@@ -112,6 +112,7 @@ def build_few_shot_model(cfg, rng=None) -> FewShotModel:
         remat=bool(cfg.TPU.get("REMAT", False)) if "TPU" in cfg else False,
         remat_policy=str(cfg.TPU.get("REMAT_POLICY", "nothing")) if "TPU" in cfg else "nothing",
         attention_backend="pallas" if ("TPU" in cfg and cfg.TPU.get("PALLAS_ATTENTION", False)) else "xla",
+        scan_layers=bool(cfg.TPU.get("SCAN_LAYERS", False)) if "TPU" in cfg else False,
     )
 
     if not isinstance(head, CLIPFSARHead):
@@ -198,7 +199,7 @@ def _assemble_classic_head(cfg, head, rng, text_train, text_test, clip_vars=None
 # registry entry matching the reference head name: a factory so every head
 # shares the (cfg, **build options) calling convention
 @HEAD_REGISTRY.register(name="CNN_OTAM_CLIPFSAR")
-def _build_clipfsar_head(cfg, arch=None, dtype=jnp.float32, remat=False, remat_policy="nothing", attention_backend="xla", **kw):
+def _build_clipfsar_head(cfg, arch=None, dtype=jnp.float32, remat=False, remat_policy="nothing", attention_backend="xla", scan_layers=False, **kw):
     if arch is None:
         arch = ARCHS[cfg.VIDEO.HEAD.BACKBONE_NAME]
     # reference trains the whole model (model.train()), so RN BatchNorm runs
@@ -212,6 +213,7 @@ def _build_clipfsar_head(cfg, arch=None, dtype=jnp.float32, remat=False, remat_p
         remat=remat,
         remat_policy=remat_policy,
         attention_backend=attention_backend,
+        scan_layers=scan_layers,
     )
 
 

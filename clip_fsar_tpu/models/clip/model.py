@@ -70,6 +70,9 @@ class CLIPArch:
 ARCHS = {
     "RN50": CLIPArch(1024, 224, (3, 4, 6, 3), 64, None),
     "RN101": CLIPArch(512, 224, (3, 4, 23, 3), 64, None),
+    "RN50x4": CLIPArch(640, 288, (4, 6, 10, 6), 80, None, transformer_width=640, transformer_heads=10),
+    "RN50x16": CLIPArch(768, 384, (6, 8, 18, 8), 96, None, transformer_width=768, transformer_heads=12),
+    "RN50x64": CLIPArch(1024, 448, (3, 15, 36, 10), 128, None, transformer_width=1024, transformer_heads=16),
     "ViT-B/32": CLIPArch(512, 224, 12, 768, 32, transformer_width=512, transformer_heads=8),
     "ViT-B/16": CLIPArch(512, 224, 12, 768, 16, transformer_width=512, transformer_heads=8),
     "ViT-L/14": CLIPArch(768, 224, 24, 1024, 14, transformer_width=768, transformer_heads=12),
@@ -151,6 +154,14 @@ class ResidualAttentionBlock(nn.Module):
 
 
 class Transformer(nn.Module):
+    """Stack of residual attention blocks.
+
+    ``scan_layers`` switches execution to one ``lax.scan`` over the depth
+    axis: the per-layer params keep their ``resblocks_i`` names (checkpoint
+    and converter contracts unchanged) and are stacked at trace time, so
+    XLA compiles ONE block body instead of ``layers`` copies — much faster
+    compiles for deep towers and a uniform remat schedule."""
+
     width: int
     layers: int
     heads: int
@@ -159,26 +170,55 @@ class Transformer(nn.Module):
     remat: bool = False
     remat_policy: str = "nothing"  # nothing | dots (save matmul outputs)
     attention_backend: str = "xla"
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        block_cls = ResidualAttentionBlock
+        policy = (
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            if self.remat_policy == "dots"
+            else jax.checkpoint_policies.nothing_saveable
+        )
+        if not self.scan_layers or self.is_initializing():
+            # loop mode (also the init path for scan mode, so the params
+            # materialize under their per-layer resblocks_i names)
+            block_cls = ResidualAttentionBlock
+            if self.remat and not self.is_initializing():
+                block_cls = nn.remat(ResidualAttentionBlock, policy=policy)
+            for i in range(self.layers):
+                x = block_cls(
+                    self.width,
+                    self.heads,
+                    causal=self.causal,
+                    dtype=self.dtype,
+                    attention_backend=self.attention_backend,
+                    name=f"resblocks_{i}",
+                )(x)
+            return x
+
+        # scan mode: read the per-layer param trees (identical structure),
+        # stack to a [L, ...] pytree and lax.scan one shared block body over
+        # the depth axis.  Params keep their resblocks_i names; only the
+        # execution strategy changes, so checkpoints/converters are
+        # unaffected while XLA compiles the block once instead of L times.
+        stacked = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves),
+            *[self.scope.get_variable("params", f"resblocks_{i}") for i in range(self.layers)],
+        )
+        body_mod = ResidualAttentionBlock(
+            self.width,
+            self.heads,
+            causal=self.causal,
+            dtype=self.dtype,
+            attention_backend=self.attention_backend,
+        )
+
+        def body(carry, p):
+            return body_mod.apply({"params": p}, carry), None
+
         if self.remat:
-            policy = (
-                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                if self.remat_policy == "dots"
-                else jax.checkpoint_policies.nothing_saveable
-            )
-            block_cls = nn.remat(ResidualAttentionBlock, policy=policy)
-        for i in range(self.layers):
-            x = block_cls(
-                self.width,
-                self.heads,
-                causal=self.causal,
-                dtype=self.dtype,
-                attention_backend=self.attention_backend,
-                name=f"resblocks_{i}",
-            )(x)
+            body = jax.checkpoint(body, policy=policy)
+        x, _ = jax.lax.scan(body, x, stacked)
         return x
 
 
@@ -200,6 +240,7 @@ class VisionTransformer(nn.Module):
     remat: bool = False
     remat_policy: str = "nothing"
     attention_backend: str = "xla"
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_tokens: bool = False):
@@ -229,6 +270,7 @@ class VisionTransformer(nn.Module):
             remat=self.remat,
             remat_policy=self.remat_policy,
             attention_backend=self.attention_backend,
+            scan_layers=self.scan_layers,
             name="transformer",
         )(x)
         proj = self.param("proj", nn.initializers.normal(self.width**-0.5), (self.width, self.output_dim), jnp.float32)
@@ -426,6 +468,7 @@ class CLIP(nn.Module):
     remat: bool = False
     remat_policy: str = "nothing"
     attention_backend: str = "xla"
+    scan_layers: bool = False
 
     def setup(self):
         a = self.arch
@@ -441,6 +484,7 @@ class CLIP(nn.Module):
                 remat=self.remat,
                 remat_policy=self.remat_policy,
                 attention_backend=self.attention_backend,
+                scan_layers=self.scan_layers,
             )
         else:
             self.visual = ModifiedResNet(

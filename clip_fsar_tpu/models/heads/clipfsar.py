@@ -76,6 +76,7 @@ class CLIPFSARHead(nn.Module):
     remat: bool = False
     remat_policy: str = "nothing"
     attention_backend: str = "xla"
+    scan_layers: bool = False
 
     def setup(self):
         a = self.arch
@@ -91,6 +92,7 @@ class CLIPFSARHead(nn.Module):
                 remat=self.remat,
                 remat_policy=self.remat_policy,
                 attention_backend=self.attention_backend,
+                scan_layers=self.scan_layers,
             )
         else:
             self.backbone = ModifiedResNet(
