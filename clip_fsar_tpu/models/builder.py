@@ -37,6 +37,20 @@ def _dtype_from_cfg(cfg):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[name]
 
 
+def _attention_backend_from_cfg(cfg) -> str:
+    """Attention core selector (ops/attention.mha): "pallas" for the fused
+    kernel, else XLA; TPU.SOFTMAX_DTYPE=bfloat16 keeps attention logits in
+    the compute dtype ("xla:bf16" — measured +6% ViT-B/16 train throughput,
+    PERFORMANCE.md) instead of the fp32-parity default."""
+    if "TPU" not in cfg:
+        return "xla"
+    if cfg.TPU.get("PALLAS_ATTENTION", False):
+        return "pallas"
+    if str(cfg.TPU.get("SOFTMAX_DTYPE", "float32")) == "bfloat16":
+        return "xla:bf16"
+    return "xla"
+
+
 def _clip_checkpoint_path(cfg) -> Optional[str]:
     """An OpenAI-format CLIP checkpoint to initialize from, if available."""
     for key in ("CLIP_WEIGHTS",):
@@ -111,7 +125,7 @@ def build_few_shot_model(cfg, rng=None) -> FewShotModel:
         dtype=_dtype_from_cfg(cfg),
         remat=bool(cfg.TPU.get("REMAT", False)) if "TPU" in cfg else False,
         remat_policy=str(cfg.TPU.get("REMAT_POLICY", "nothing")) if "TPU" in cfg else "nothing",
-        attention_backend="pallas" if ("TPU" in cfg and cfg.TPU.get("PALLAS_ATTENTION", False)) else "xla",
+        attention_backend=_attention_backend_from_cfg(cfg),
         scan_layers=bool(cfg.TPU.get("SCAN_LAYERS", False)) if "TPU" in cfg else False,
     )
 

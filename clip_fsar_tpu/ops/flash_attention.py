@@ -46,14 +46,18 @@ def _causal_mask_block(s, q_start, k_start):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, scale: float, nk: int, causal: bool, block_q: int):
     qb = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * scale  # [block_q, d]
+    # keep q/k/v in their storage dtype (bf16): the MXU takes bf16 inputs
+    # with fp32 accumulation at full rate — upcasting first would halve
+    # matmul throughput and double VMEM traffic.  Scale AFTER the dot, in
+    # fp32 (higher precision than scaling bf16 q).
+    q = q_ref[0]  # [block_q, d]
     num_kb = pl.cdiv(nk, block_k)
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk]
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # [bq, bk] f32
         key_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(key_ids < nk, s, _NEG_INF)
         if causal:
@@ -64,7 +68,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, scale: flo
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
     d = q.shape[-1]
@@ -86,23 +90,23 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, scale: flo
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, block_k: int, scale: float, nk: int, causal: bool, block_q: int):
     qb = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)  # [bq, d]
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]  # [bq, d] storage dtype — bf16 feeds the MXU at full rate
+    do = do_ref[0]
     lse = lse_ref[0][:, 0:1]  # [bq, 1]
     delta = delta_ref[0][:, 0:1]
     num_kb = pl.cdiv(nk, block_k)
 
     def body(kb, dq):
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         key_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(key_ids < nk, s, _NEG_INF)
         if causal:
             s = s + _causal_mask_block(s, qb * block_q, kb * block_k)
-        p = jnp.exp(s - lse)  # [bq, bk]
+        p = jnp.exp(s - lse)  # [bq, bk] f32
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(k.dtype)
         return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
 
     dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros(q.shape, jnp.float32))
@@ -111,14 +115,14 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, b
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, block_q: int, scale: float, nq: int, causal: bool, block_k: int):
     kb = pl.program_id(1)
-    k = k_ref[0].astype(jnp.float32)  # [bk, d]
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]  # [bk, d] storage dtype — bf16 feeds the MXU at full rate
+    v = v_ref[0]
     num_qb = pl.cdiv(nq, block_q)
 
     def body(qb, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(qb * block_q, block_q), :][:, 0:1]
         delta = delta_ref[0, pl.ds(qb * block_q, block_q), :][:, 0:1]
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # [bq, bk]
@@ -127,9 +131,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_
         if causal:
             s = s + _causal_mask_block(s, qb * block_q, kb * block_k)
         p = jnp.exp(s - lse)  # rows of padded queries have lse=0 but do=0
-        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        pt = p.astype(do.dtype).T
+        dv = dv + jnp.dot(pt, do, preferred_element_type=jnp.float32)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(q.dtype)
         dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
         return dk, dv
 
@@ -277,14 +282,23 @@ def _flash_bwd(causal, block_q, block_k, residuals, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+def _auto_block(n: int) -> int:
+    """One whole-sequence block when the (8-aligned) sequence fits a single
+    ≤256 tile row — for CLIP's 197/50-token frames this cuts the q-axis
+    padding from 30% (two 128 blocks → 256) to 12% (one 224 block) and
+    removes the online-softmax loop; longer sequences stream 128-blocks."""
+    aligned = -(-n // 8) * 8
+    return aligned if aligned <= 256 else 128
+
+
 def flash_mha(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     causal: bool = False,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
 ) -> jnp.ndarray:
     """Drop-in for ops.attention.mha on head-split tensors; differentiable
     (custom VJP with Pallas backward kernels).  ``causal`` is handled
@@ -293,4 +307,6 @@ def flash_mha(
         from clip_fsar_tpu.ops import attention as _attn
 
         return _attn.mha(q, k, v, mask=mask, backend="xla")
+    block_q = block_q or _auto_block(q.shape[2])
+    block_k = block_k or _auto_block(k.shape[2])
     return _flash(q, k, v, causal, block_q, block_k)
