@@ -44,43 +44,50 @@ def _causal_mask_block(s, q_start, k_start):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, scale: float, nk: int, causal: bool, block_q: int):
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, scale: float, nk: int, causal: bool, block_q: int, block_b: int
+):
     qb = pl.program_id(1)
-    # keep q/k/v in their storage dtype (bf16): the MXU takes bf16 inputs
-    # with fp32 accumulation at full rate — upcasting first would halve
-    # matmul throughput and double VMEM traffic.  Scale AFTER the dot, in
-    # fp32 (higher precision than scaling bf16 q).
-    q = q_ref[0]  # [block_q, d]
     num_kb = pl.cdiv(nk, block_k)
 
-    def body(kb, carry):
-        acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # [bq, bk] f32
-        key_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(key_ids < nk, s, _NEG_INF)
-        if causal:
-            s = s + _causal_mask_block(s, qb * block_q, kb * block_k)
+    # statically unrolled loop over block_b (b,h) pairs per program: at
+    # CLIP shapes each pair is only ~2 µs of math, so one-pair programs
+    # are grid-overhead bound; batching pairs amortizes dispatch + DMA.
+    for ib in range(block_b):
+        # keep q/k/v in their storage dtype (bf16): the MXU takes bf16
+        # inputs with fp32 accumulation at full rate — upcasting first
+        # would halve matmul throughput and double VMEM traffic.  Scale
+        # AFTER the dot, in fp32.
+        q = q_ref[ib]  # [block_q, d]
 
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        return acc, m_new, l_new
+        def body(kb, carry, ib=ib, q=q):
+            acc, m_prev, l_prev = carry
+            k = k_ref[ib, pl.ds(kb * block_k, block_k), :]
+            v = v_ref[ib, pl.ds(kb * block_k, block_k), :]
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # [bq, bk] f32
+            key_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(key_ids < nk, s, _NEG_INF)
+            if causal:
+                s = s + _causal_mask_block(s, qb * block_q, kb * block_k)
 
-    d = q.shape[-1]
-    acc = jnp.zeros((q.shape[0], d), jnp.float32)
-    m0 = jnp.full((q.shape[0], 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((q.shape[0], 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
-    l_safe = jnp.maximum(l, 1e-30)
-    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    # log-sum-exp per query row, lane-replicated to satisfy the tile
-    lse = m + jnp.log(l_safe)  # [bq, 1]
-    lse_ref[0] = jnp.broadcast_to(lse, (q.shape[0], _LANES)).astype(jnp.float32)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            return acc, m_new, l_new
+
+        d = q.shape[-1]
+        acc = jnp.zeros((q.shape[0], d), jnp.float32)
+        m0 = jnp.full((q.shape[0], 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((q.shape[0], 1), jnp.float32)
+        acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
+        l_safe = jnp.maximum(l, 1e-30)
+        o_ref[ib] = (acc / l_safe).astype(o_ref.dtype)
+        # log-sum-exp per query row, lane-replicated to satisfy the tile
+        lse = m + jnp.log(l_safe)  # [bq, 1]
+        lse_ref[ib] = jnp.broadcast_to(lse, (q.shape[0], _LANES)).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -173,13 +180,24 @@ def _prep(q, k, v, block_q, block_k):
     return qp, kp, vp, (b, h, nq, nk, d, d_p)
 
 
+def _pick_block_b(bh: int, cap: int = 8) -> int:
+    """Largest power-of-two ≤ cap dividing bh ((b,h) pairs per program)."""
+    bb = 1
+    while bb * 2 <= cap and bh % (bb * 2) == 0:
+        bb *= 2
+    return bb
+
+
 def _fwd_impl(q, k, v, causal: bool, block_q: int, block_k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     qp, kp, vp, (b, h, nq, nk, d, d_p) = _prep(q, k, v, block_q, block_k)
     bh, nq_p, nk_p = qp.shape[0], qp.shape[1], kp.shape[1]
     scale = d**-0.5
-    grid = (bh, nq_p // block_q)
+    block_b = _pick_block_b(bh)
+    grid = (bh // block_b, nq_p // block_q)
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, block_k=block_k, scale=scale, nk=nk, causal=causal, block_q=block_q),
+        functools.partial(
+            _fwd_kernel, block_k=block_k, scale=scale, nk=nk, causal=causal, block_q=block_q, block_b=block_b
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, nq_p, d_p), q.dtype),
             jax.ShapeDtypeStruct((bh, nq_p, _LANES), jnp.float32),
@@ -187,13 +205,13 @@ def _fwd_impl(q, k, v, causal: bool, block_q: int, block_k: int) -> Tuple[jnp.nd
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, block_q, d_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, nk_p, d_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, nk_p, d_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_b, block_q, d_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_b, nk_p, d_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_b, nk_p, d_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((1, block_q, d_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q, _LANES), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_b, block_q, d_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_b, block_q, _LANES), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             ),
         ),
     )(qp, kp, vp)
