@@ -204,14 +204,37 @@ class Slowfast(nn.Module):
         beta = int(sf.BETA)
         ratio = int(sf.get("CONV_CHANNEL_RATIO", 2))
         kernel = int(sf.get("KERNEL_SIZE", 5))
-        x_slow, x_fast = (x[0], x[1]) if isinstance(x, (list, tuple)) else (x, x)
+        if isinstance(x, (list, tuple)):
+            x_slow, x_fast = x[0], x[1]
+        else:
+            # the reference builds [slow, fast] inputs in the dataset
+            # (base_dataset.py:413-417: linspace stride-alpha subsample ==
+            # x[:, ::alpha] for divisible T); here the split is a static
+            # in-graph slice so the host pipeline ships ONE tensor
+            x_slow, x_fast = x[:, ::alpha], x
 
-        # build two ResNet3D trunks with slow/fast channel configs: the
-        # config carries per-pathway NUM_FILTERS via SLOWFAST.{SLOW,FAST}
-        slow_cfg = cfg.deep_copy()
-        slow_cfg.VIDEO.BACKBONE.ADD_FUSION_CHANNEL = True
-        fast_cfg = cfg.deep_copy()
-        fast_cfg.VIDEO.BACKBONE.NUM_FILTERS = [max(f // beta, 1) for f in cfg.VIDEO.BACKBONE.NUM_FILTERS]
+        # per-pathway configs (reference _construct_slowfast_cfg,
+        # slowfast.py:37-50): KERNEL_SIZE and TEMPORAL_CONV_BOTTLENECK in
+        # SlowFast presets carry a leading [slow, fast] pathway axis; slow
+        # gets index 0 + fused input channels, fast gets index 1 + NUM_FILTERS/beta
+        def pathway_cfg(idx):
+            p = cfg.deep_copy()
+            bb = p.VIDEO.BACKBONE
+            ks = bb.get("KERNEL_SIZE", None)
+            if ks is not None and len(ks) == 2 and ks[0] and isinstance(ks[0][0], (list, tuple)):
+                bb.KERNEL_SIZE = ks[idx]
+            tcb = bb.get("TEMPORAL_CONV_BOTTLENECK", None)
+            if tcb is not None and len(tcb) == 2 and isinstance(tcb[0], (list, tuple)):
+                bb.TEMPORAL_CONV_BOTTLENECK = tcb[idx]
+            if idx == 1:
+                bb.ADD_FUSION_CHANNEL = False
+                bb.NUM_FILTERS = [max(f // beta, 1) for f in bb.NUM_FILTERS]
+            else:
+                bb.ADD_FUSION_CHANNEL = True
+            return p
+
+        slow_cfg = pathway_cfg(0)
+        fast_cfg = pathway_cfg(1)
 
         s = STEM_REGISTRY.get(cfg.VIDEO.BACKBONE.STEM.NAME)(cfg=slow_cfg, train_bn=self.train_bn, dtype=self.dtype, name="slow_stem")(x_slow)
         f = STEM_REGISTRY.get(cfg.VIDEO.BACKBONE.STEM.NAME)(cfg=fast_cfg, train_bn=self.train_bn, dtype=self.dtype, name="fast_stem")(x_fast)
