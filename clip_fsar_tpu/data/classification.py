@@ -46,6 +46,16 @@ class ClassificationDataset:
             self._num_clips = int(cfg.TEST.get("NUM_ENSEMBLE_VIEWS", 1)) * int(cfg.TEST.get("NUM_SPATIAL_CROPS", 1))
         else:
             self._num_clips = 1
+        # SSL pretraining (reference base_dataset applies the registered
+        # sslgenerator in __getitem__ when PRETRAIN.ENABLE): the generator
+        # consumes raw decoded frames and emits (clips [S,F,c,c,3], labels
+        # dict) — the worker-side numpy path, device sees fixed shapes
+        self.ssl_generator = None
+        if "PRETRAIN" in cfg and cfg.PRETRAIN.get("ENABLE", False):
+            from clip_fsar_tpu.utils.registry import SSL_GENERATOR_REGISTRY
+
+            gen_name = str(cfg.PRETRAIN.get("GENERATOR", "MoSIGenerator"))
+            self.ssl_generator = SSL_GENERATOR_REGISTRY.get(gen_name)(cfg, split)
         self._load_list()
 
     # -- list handling ------------------------------------------------------
@@ -102,6 +112,11 @@ class ClassificationDataset:
             num_clips=temporal_clips,
         )
         frames = self.decoder.read(path, indices)
+        if self.ssl_generator is not None:
+            # pseudo-motion clips replace the clip; labels come from the
+            # generator (dict of per-axis targets), not the class list
+            clips, ssl_labels = self.ssl_generator(frames, rng)
+            return clips, ssl_labels, index
         frames = self._transform(frames, rng, spatial_idx, spatial_crops)
         return frames, label, index
 
@@ -191,7 +206,12 @@ class ClassificationLoader:
                     vids += [vids[-1]] * pad
                     labels += [labels[-1]] * pad
                     clip_ids += [-1] * pad
-                q.put((bi, np.stack(vids), np.asarray(labels, np.int32), np.asarray(clip_ids, np.int64)))
+                if isinstance(labels[0], dict):
+                    # SSL generator labels: dict of per-axis targets [S]
+                    batched = {k: np.stack([l[k] for l in labels]).astype(np.int32) for k in labels[0]}
+                else:
+                    batched = np.asarray(labels, np.int32)
+                q.put((bi, np.stack(vids), batched, np.asarray(clip_ids, np.int64)))
             q.put((None, None, None, None))
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True) for w in range(self.num_workers)]

@@ -58,7 +58,29 @@ def make_classification_train_step(model, tx, cfg):
         hasattr(aug.get("RANDOM_ERASING", {}), "get") and bool(aug.RANDOM_ERASING.get("ENABLE", False))
     )
 
+    pretrain = bool(cfg.PRETRAIN.get("ENABLE", False)) if "PRETRAIN" in cfg else False
+
     def loss_fn(params, batch_stats, videos, labels, rng):
+        if pretrain:
+            # SSL pretraining (reference train.py + losses.calculate_loss
+            # SSL '+'-composition): videos [B, S, F, H, W, 3] pseudo-motion
+            # clips, labels a dict of per-axis targets [B, S]
+            from clip_fsar_tpu.train.losses import calculate_loss
+
+            x = normalize_images(videos, mean, std)
+            variables = {"params": params}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
+            preds, logits = model.apply(variables, x, train=True, rngs={"dropout": rng})
+            loss, parts = calculate_loss(cfg, preds, logits, {"self-supervised": labels})
+            metrics = {"loss": loss}
+            shared = [k for k in preds if k in labels]
+            if shared:
+                k = shared[0]
+                metrics["top1"] = (jnp.argmax(preds[k], -1) == labels[k].reshape(-1)).mean()
+            else:
+                metrics["top1"] = jnp.zeros(())
+            return loss, metrics
         if color_or_erase:
             # device-side jitter/erasing (the reference's AUGMENTATION.USE_GPU
             # path, finetune.yaml) fused into the jitted step
@@ -191,7 +213,8 @@ def train(cfg) -> Dict[str, float]:
         # reference cadence (misc.py:168-180, checkpoint.py:89-99), checked
         # for every epoch this fold-step covered
         covered = range(cur_epoch, min(cur_epoch + num_folds, max_epoch))
-        if any(is_eval_epoch(cfg, e_) for e_ in covered):
+        pretrain = bool(cfg.PRETRAIN.get("ENABLE", False)) if "PRETRAIN" in cfg else False
+        if any(is_eval_epoch(cfg, e_) for e_ in covered) and not pretrain:
             stats = _eval_epoch(cfg, model, jax.device_get(state).model_variables, eval_step, mesh)
             best_top1 = max(best_top1, stats["top1_acc"])
         if any(is_checkpoint_epoch(cfg, e_) for e_ in covered):

@@ -23,6 +23,7 @@ def pytest_configure(config):
     # fp32 parity tests need true-fp32 matmuls/convs (XLA CPU otherwise
     # lowers them to reduced-precision oneDNN paths).
     jax.config.update("jax_default_matmul_precision", "highest")
+    config.addinivalue_line("markers", "slow: long-running end-to-end drives")
 
 
 @pytest.fixture(scope="session")
