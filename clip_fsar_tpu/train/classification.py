@@ -214,9 +214,12 @@ def train(cfg) -> Dict[str, float]:
         # for every epoch this fold-step covered
         covered = range(cur_epoch, min(cur_epoch + num_folds, max_epoch))
         pretrain = bool(cfg.PRETRAIN.get("ENABLE", False)) if "PRETRAIN" in cfg else False
-        if any(is_eval_epoch(cfg, e_) for e_ in covered) and not pretrain:
-            stats = _eval_epoch(cfg, model, jax.device_get(state).model_variables, eval_step, mesh)
-            best_top1 = max(best_top1, stats["top1_acc"])
+        if any(is_eval_epoch(cfg, e_) for e_ in covered):
+            if pretrain:
+                _eval_epoch_ssl(cfg, model, jax.device_get(state).model_variables, mesh)
+            else:
+                stats = _eval_epoch(cfg, model, jax.device_get(state).model_variables, eval_step, mesh)
+                best_top1 = max(best_top1, stats["top1_acc"])
         if any(is_checkpoint_epoch(cfg, e_) for e_ in covered):
             ckpt.save(cur_epoch + num_folds, jax.device_get(state))
     ckpt.save(max_epoch, jax.device_get(state))
@@ -226,6 +229,40 @@ def train(cfg) -> Dict[str, float]:
 
 def _dual_head(cfg) -> bool:
     return isinstance(cfg.VIDEO.HEAD.get("NUM_CLASSES", 0), (list, tuple))
+
+
+def _eval_epoch_ssl(cfg, model, variables, mesh) -> Dict[str, float]:
+    """Pretrain validation: SSL loss (+ per-axis accuracy) over the val
+    split (reference train.py eval_epoch with SSL losses)."""
+    from clip_fsar_tpu.train.losses import calculate_loss
+
+    mean = tuple(float(x) for x in cfg.DATA.MEAN)
+    std = tuple(float(x) for x in cfg.DATA.STD)
+
+    @jax.jit
+    def step(variables, videos, labels):
+        x = normalize_images(videos, mean, std)
+        preds, logits = model.apply(variables, x, train=False)
+        loss, _ = calculate_loss(cfg, preds, logits, {"self-supervised": labels})
+        accs = {
+            k: (jnp.argmax(preds[k], -1) == labels[k].reshape(-1)).mean() for k in preds if k in labels
+        }
+        return loss, accs
+
+    sh = data_sharding(mesh)
+    variables = shard_params(variables, mesh)
+    loader = build_classification_loader(cfg, "test")
+    losses, accs_sum, n = [], {}, 0
+    for videos, labels, _ in loader:
+        loss, accs = jax.device_get(step(variables, jax.device_put(videos, sh), jax.device_put(labels, sh)))
+        losses.append(float(loss))
+        for k, v in accs.items():
+            accs_sum[k] = accs_sum.get(k, 0.0) + float(v)
+        n += 1
+    stats = {"loss": float(np.mean(losses)) if losses else 0.0}
+    stats.update({f"acc_{k}": round(v / max(n, 1) * 100.0, 2) for k, v in accs_sum.items()})
+    log_json_stats({"_type": "val_epoch_ssl", **stats, "batches": n}, logger)
+    return stats
 
 
 def _eval_epoch(cfg, model, variables, eval_step, mesh) -> Dict[str, float]:

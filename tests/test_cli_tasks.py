@@ -102,6 +102,7 @@ TRAIN:
   ENABLE: true
   DATASET: HMDB51
   BATCH_SIZE: 2
+  EVAL_PERIOD: 1
 TEST:
   ENABLE: false
   DATASET: HMDB51
@@ -126,3 +127,5 @@ SOLVER:
     blob = proc.stdout + proc.stderr
     assert proc.returncode == 0, blob[-800:]
     assert "=== run: train ===" in blob
+    # SSL validation ran (reference train.py eval_epoch with SSL losses)
+    assert "val_epoch_ssl" in blob
