@@ -77,6 +77,78 @@ SOLVER:
 
 
 @pytest.mark.slow
+def test_cli_localization_train_and_tal_eval(tmp_path):
+    """TASK_TYPE=localization through runs/run.py: BMN training then the
+    sliding-window TAL evaluation (reference runs/test_epic_localization.py),
+    on the synthetic feature dataset."""
+    cfg = f"""
+TASK_TYPE: localization
+OUTPUT_DIR: {tmp_path / 'out'}
+PRETRAIN:
+  ENABLE: false
+LOCALIZATION:
+  ENABLE: true
+  LOSS: Tem+PemReg+PemCls
+  LOSS_WEIGHTS: [1, 10, 1]
+  POS_REG_THRES: 0.7
+  NEG_REG_THRES: 0.3
+  POS_CLS_THRES: 0.9
+  SOFT_NMS_ALPHA: 0.4
+  SOFT_NMS_LOW_THRES: 0.5
+  SOFT_NMS_HIGH_THRES: 0.9
+  PROP_NUM: 50
+TRAIN:
+  ENABLE: true
+  BATCH_SIZE: 4
+  BATCH_SIZE_PER_TASK: 1
+  AUTO_RESUME: false
+TEST:
+  BATCH_SIZE: 4
+  TEST_SET: val
+DATA:
+  TEMPORAL_SCALE: 32
+  DURATION_SCALE: 0
+  NUM_INPUT_CHANNELS: 16
+  DECODER: synthetic
+VIDEO:
+  DIM1D: 32
+  DIM2D: 16
+  DIM3D: 16
+  BACKBONE_LAYER: 2
+  BACKBONE_GROUPS_NUM: 4
+  HEAD:
+    NAME: BaseBMN
+    NUM_SAMPLE: 8
+    NUM_SAMPLE_PERBIN: 3
+    BOUNDARY_RATIO: 0.5
+    USE_BMN_REGRESSION: false
+    NUM_CLASSES: [3, 4]
+SOLVER:
+  BASE_LR: 1e-3
+  LR_POLICY: cosine
+  MAX_EPOCH: 1
+  WARMUP_EPOCHS: 0
+  WARMUP_START_LR: 1e-6
+  OPTIM_METHOD: adam
+  WEIGHT_DECAY: 0.0
+  MOMENTUM: 0.9
+  NESTEROV: false
+BN:
+  WEIGHT_DECAY: 0.0
+AUGMENTATION:
+  LABEL_SMOOTHING: 0.0
+LOG_PERIOD: 1
+SUBMISSION:
+  SAVE_RESULTS_PATH: sub.json
+"""
+    proc = _run_cli(tmp_path, cfg)
+    blob = proc.stdout + proc.stderr
+    assert proc.returncode == 0, blob[-800:]
+    assert "=== run: train_localization ===" in blob
+    assert "=== run: test_epic_localization ===" in blob
+
+
+@pytest.mark.slow
 def test_cli_mosi_pretrain(tmp_path):
     _write_space_list(tmp_path, "hmdb51_train_list.txt")
     _write_space_list(tmp_path, "hmdb51_test_list.txt")
