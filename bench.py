@@ -147,7 +147,7 @@ def main() -> int:
         run_once()
     except Exception as e:
         oom = "RESOURCE_EXHAUSTED" in str(e) or "Ran out of memory" in str(e) or "ResourceExhausted" in str(e)
-        remat_on = bool(cfg.TPU.get("REMAT", False))
+        remat_on = cfg.TPU.get("REMAT", False) is True  # "auto" counts as off: retry explicitly
         if not oom or (remat_on and episodes <= n_dev):
             raise
         # fallback chain: turn remat on first (keeps the batch), then

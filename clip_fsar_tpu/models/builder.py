@@ -51,6 +51,29 @@ def _attention_backend_from_cfg(cfg) -> str:
     return "xla"
 
 
+def _resolve_tower_execution(cfg, arch) -> tuple:
+    """(remat, scan_layers) for the vision tower.  "auto" (the base.yaml
+    default) turns both on for deep towers (>= 24 layers, i.e. ViT-L and
+    up) where measured v5e behavior requires them: unrolled ViT-L blows
+    the remote-compile budget and scan-without-remat saves one attention-
+    logit plane per layer and OOMs (PERFORMANCE.md).  Explicit true/false
+    is always honored."""
+
+    def resolve(value, deep_default):
+        if isinstance(value, str) and value.lower() == "auto":
+            return deep_default
+        return bool(value)
+
+    layers = getattr(arch, "vision_layers", 0) if arch is not None else 0
+    deep = isinstance(layers, int) and layers >= 24  # tuple -> ModifiedResNet (shallow activations)
+    if "TPU" not in cfg:
+        return False, False
+    return (
+        resolve(cfg.TPU.get("REMAT", False), deep),
+        resolve(cfg.TPU.get("SCAN_LAYERS", False), deep),
+    )
+
+
 def _clip_checkpoint_path(cfg) -> Optional[str]:
     """An OpenAI-format CLIP checkpoint to initialize from, if available."""
     for key in ("CLIP_WEIGHTS",):
@@ -119,14 +142,15 @@ def build_few_shot_model(cfg, rng=None) -> FewShotModel:
 
     head_name = cfg.VIDEO.HEAD.NAME
     head_factory = HEAD_REGISTRY.get(head_name)
+    remat, scan_layers = _resolve_tower_execution(cfg, arch)
     head = head_factory(
         cfg,
         arch=arch,
         dtype=_dtype_from_cfg(cfg),
-        remat=bool(cfg.TPU.get("REMAT", False)) if "TPU" in cfg else False,
+        remat=remat,
         remat_policy=str(cfg.TPU.get("REMAT_POLICY", "nothing")) if "TPU" in cfg else "nothing",
         attention_backend=_attention_backend_from_cfg(cfg),
-        scan_layers=bool(cfg.TPU.get("SCAN_LAYERS", False)) if "TPU" in cfg else False,
+        scan_layers=scan_layers,
     )
 
     if not isinstance(head, CLIPFSARHead):
