@@ -89,3 +89,42 @@ def test_synthetic_openai_pt_roundtrip(tmp_path):
 
     np.testing.assert_allclose(np.asarray(img_f, np.float32), rimg.numpy(), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(txt_f, np.float32), rtxt.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_synthetic_openai_pt_roundtrip_rn50_family(tmp_path):
+    """Same roundtrip for the ModifiedResNet branch: the state dict comes
+    from the reference's own CLIP class (tuple vision_layers ->
+    ModifiedResNet), so every RN key/layout quirk is covered."""
+    import jax.numpy as jnp
+
+    from reference_oracle import import_reference_few_shot
+
+    ref_fs = import_reference_few_shot()
+    torch.manual_seed(0)
+    ref = ref_fs.CLIP(
+        embed_dim=16, image_resolution=64, vision_layers=(1, 1, 1, 1), vision_width=64,
+        vision_patch_size=None, context_length=77, vocab_size=49408,
+        transformer_width=64, transformer_heads=1, transformer_layers=2,
+    ).float().eval()
+    path = tmp_path / "tiny_rn.pt"
+    torch.save(ref.state_dict(), str(path))
+
+    from clip_fsar_tpu.models.clip.convert import load_openai_checkpoint
+    from clip_fsar_tpu.models.clip.model import CLIP
+
+    arch, variables = load_openai_checkpoint(str(path))
+    assert arch.vision_layers == (1, 1, 1, 1) and arch.vision_width == 64
+    assert arch.image_resolution == 64 and arch.embed_dim == 16
+
+    model = CLIP(arch=arch)
+    img = jnp.asarray(np.random.RandomState(1).rand(2, 64, 64, 3), jnp.float32)
+    toks = jnp.asarray(np.array([[49406, 320, 49407] + [0] * 74, [49406, 589, 49407] + [0] * 74]), jnp.int32)
+    img_f = model.apply(variables, img, method=model.encode_image)
+    txt_f = model.apply(variables, toks, method=model.encode_text)
+
+    with torch.no_grad():
+        rimg = ref.encode_image(torch.from_numpy(np.asarray(img.transpose(0, 3, 1, 2), np.float32)))
+        rtxt = ref.encode_text(torch.from_numpy(np.asarray(toks)))
+
+    np.testing.assert_allclose(np.asarray(img_f, np.float32), rimg.numpy(), rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(txt_f, np.float32), rtxt.numpy(), rtol=5e-4, atol=5e-4)
