@@ -147,7 +147,10 @@ def main() -> int:
         run_once()
     except Exception as e:
         oom = "RESOURCE_EXHAUSTED" in str(e) or "Ran out of memory" in str(e) or "ResourceExhausted" in str(e)
-        remat_on = cfg.TPU.get("REMAT", False) is True  # "auto" counts as off: retry explicitly
+        # EFFECTIVE remat (the builder resolves "auto" per tower depth) —
+        # retrying with --remat when auto already enabled it would re-run
+        # the identical graph into the same OOM
+        remat_on = bool(getattr(model.head, "remat", cfg.TPU.get("REMAT", False) is True))
         if not oom or (remat_on and episodes <= n_dev):
             raise
         # fallback chain: turn remat on first (keeps the batch), then

@@ -301,11 +301,14 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def _auto_block(n: int) -> int:
-    """One whole-sequence block when the (8-aligned) sequence fits a single
-    ≤256 tile row — for CLIP's 197/50-token frames this cuts the q-axis
-    padding from 30% (two 128 blocks → 256) to 12% (one 224 block) and
-    removes the online-softmax loop; longer sequences stream 128-blocks."""
-    aligned = -(-n // 8) * 8
+    """One whole-sequence block when the (32-aligned) sequence fits a
+    single ≤256 tile row — for CLIP's 197/50-token frames this cuts the
+    q-axis padding from 30% (two 128 blocks → 256) to 12% (one 224 block)
+    and removes the online-softmax loop; longer sequences stream
+    128-blocks.  32 alignment keeps the block a whole number of (16, 128)
+    bf16 tiles (and (8, 128) fp32 tiles) — 197 → 224, the exact block the
+    PERFORMANCE.md numbers were measured with."""
+    aligned = -(-n // 32) * 32
     return aligned if aligned <= 256 else 128
 
 

@@ -67,7 +67,20 @@ def make_classification_train_step(model, tx, cfg):
             # clips, labels a dict of per-axis targets [B, S]
             from clip_fsar_tpu.train.losses import calculate_loss
 
-            x = normalize_images(videos, mean, std)
+            if color_or_erase:
+                # the reference applies the transform pipeline AFTER the
+                # ssl generator (base_dataset.py __getitem__: generator,
+                # then self.transform) — jitter the generated clips with
+                # one consistent draw per sample, like CONSISTENT=true
+                from clip_fsar_tpu.data.augment import apply_train_augment
+
+                rng, aug_rng = jax.random.split(rng)
+                b, s = videos.shape[:2]
+                flat = videos.reshape((b, s * videos.shape[2]) + videos.shape[3:])
+                x = apply_train_augment(aug_rng, flat, cfg, mean, std)
+                x = x.reshape(videos.shape)
+            else:
+                x = normalize_images(videos, mean, std)
             variables = {"params": params}
             if batch_stats is not None:
                 variables["batch_stats"] = batch_stats
@@ -190,6 +203,8 @@ def train(cfg) -> Dict[str, float]:
     rng = jax.random.PRNGKey(int(cfg.get("RANDOM_SEED", 0)) + 2)
     loss_meter = ScalarMeter(int(cfg.get("LOG_PERIOD", 10)))
     best_top1 = 0.0
+    pretrain = bool(cfg.PRETRAIN.get("ENABLE", False)) if "PRETRAIN" in cfg else False
+    ssl_eval_step = None  # jitted once on first eval epoch, reused after
 
     for cur_epoch in range(start_epoch, max_epoch, num_folds):
         loader.set_epoch(cur_epoch)
@@ -213,10 +228,11 @@ def train(cfg) -> Dict[str, float]:
         # reference cadence (misc.py:168-180, checkpoint.py:89-99), checked
         # for every epoch this fold-step covered
         covered = range(cur_epoch, min(cur_epoch + num_folds, max_epoch))
-        pretrain = bool(cfg.PRETRAIN.get("ENABLE", False)) if "PRETRAIN" in cfg else False
         if any(is_eval_epoch(cfg, e_) for e_ in covered):
             if pretrain:
-                _eval_epoch_ssl(cfg, model, jax.device_get(state).model_variables, mesh)
+                if ssl_eval_step is None:
+                    ssl_eval_step = make_ssl_eval_step(model, cfg)
+                _eval_epoch_ssl(cfg, model, jax.device_get(state).model_variables, mesh, step=ssl_eval_step)
             else:
                 stats = _eval_epoch(cfg, model, jax.device_get(state).model_variables, eval_step, mesh)
                 best_top1 = max(best_top1, stats["top1_acc"])
@@ -231,37 +247,57 @@ def _dual_head(cfg) -> bool:
     return isinstance(cfg.VIDEO.HEAD.get("NUM_CLASSES", 0), (list, tuple))
 
 
-def _eval_epoch_ssl(cfg, model, variables, mesh) -> Dict[str, float]:
-    """Pretrain validation: SSL loss (+ per-axis accuracy) over the val
-    split (reference train.py eval_epoch with SSL losses)."""
-    from clip_fsar_tpu.train.losses import calculate_loss
-
+def make_ssl_eval_step(model, cfg):
+    """Jitted once per run (train() hoists it out of the epoch loop):
+    per-SAMPLE SSL cross-entropies + per-clip hit counts so tail-batch
+    padding duplicates (clip_id < 0) can be masked out exactly."""
     mean = tuple(float(x) for x in cfg.DATA.MEAN)
     std = tuple(float(x) for x in cfg.DATA.STD)
 
-    @jax.jit
-    def step(variables, videos, labels):
+    def step(variables, videos, labels, valid):
         x = normalize_images(videos, mean, std)
-        preds, logits = model.apply(variables, x, train=False)
-        loss, _ = calculate_loss(cfg, preds, logits, {"self-supervised": labels})
-        accs = {
-            k: (jnp.argmax(preds[k], -1) == labels[k].reshape(-1)).mean() for k in preds if k in labels
-        }
-        return loss, accs
+        preds, _ = model.apply(variables, x, train=False)
+        b, s = videos.shape[:2]
+        w = jnp.repeat(valid.astype(jnp.float32), s)  # per-clip weights
+        denom = jnp.maximum(w.sum(), 1.0)
+        losses, accs = {}, {}
+        for k in preds:
+            lab = labels.get(k, labels.get("move_joint"))
+            if lab is None:
+                continue
+            lab = lab.reshape(-1)
+            ce = optax.softmax_cross_entropy_with_integer_labels(preds[k], lab)
+            losses[k] = (ce * w).sum() / denom
+            accs[k] = (((jnp.argmax(preds[k], -1) == lab) * w).sum()) / denom
+        total = sum(losses.values()) / max(len(losses), 1)
+        return total, accs, w.sum()
 
+    return jax.jit(step)
+
+
+def _eval_epoch_ssl(cfg, model, variables, mesh, step=None) -> Dict[str, float]:
+    """Pretrain validation: SSL loss (+ per-axis accuracy) over the val
+    split (reference train.py eval_epoch with SSL losses), padding-aware."""
+    if step is None:
+        step = make_ssl_eval_step(model, cfg)
     sh = data_sharding(mesh)
     variables = shard_params(variables, mesh)
     loader = build_classification_loader(cfg, "test")
-    losses, accs_sum, n = [], {}, 0
-    for videos, labels, _ in loader:
-        loss, accs = jax.device_get(step(variables, jax.device_put(videos, sh), jax.device_put(labels, sh)))
-        losses.append(float(loss))
+    loss_sum = 0.0
+    w_sum = 0.0
+    accs_sum: Dict[str, float] = {}
+    for videos, labels, clip_ids in loader:
+        valid = jnp.asarray(clip_ids >= 0)
+        loss, accs, w = jax.device_get(
+            step(variables, jax.device_put(videos, sh), jax.device_put(labels, sh), valid)
+        )
+        loss_sum += float(loss) * float(w)
+        w_sum += float(w)
         for k, v in accs.items():
-            accs_sum[k] = accs_sum.get(k, 0.0) + float(v)
-        n += 1
-    stats = {"loss": float(np.mean(losses)) if losses else 0.0}
-    stats.update({f"acc_{k}": round(v / max(n, 1) * 100.0, 2) for k, v in accs_sum.items()})
-    log_json_stats({"_type": "val_epoch_ssl", **stats, "batches": n}, logger)
+            accs_sum[k] = accs_sum.get(k, 0.0) + float(v) * float(w)
+    stats = {"loss": loss_sum / max(w_sum, 1.0)}
+    stats.update({f"acc_{k}": round(v / max(w_sum, 1.0) * 100.0, 2) for k, v in accs_sum.items()})
+    log_json_stats({"_type": "val_epoch_ssl", **stats, "clips": int(w_sum)}, logger)
     return stats
 
 

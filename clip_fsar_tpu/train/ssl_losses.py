@@ -19,12 +19,19 @@ def _ce(preds: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 
 @SSL_LOSSES.register(name="Loss_MoSIX")
 def loss_mosi_x(cfg, preds, logits, labels, cur_epoch: float = 0) -> Tuple[Dict, None]:
-    return {"loss_move_x": _ce(preds["move_x"], labels["move_joint"])}, None
+    # the reference (losses.py:143) indexes labels["move_joint"] even for
+    # the per-axis loss — which KeyErrors under LABEL_MODE=separate (the
+    # mode these losses exist for) and only its shipped joint config works.
+    # Prefer the correct per-axis labels when present; keep the reference's
+    # joint fallback so its working configuration stays bit-identical.
+    lab = labels.get("move_x", labels.get("move_joint"))
+    return {"loss_move_x": _ce(preds["move_x"], lab)}, None
 
 
 @SSL_LOSSES.register(name="Loss_MoSIY")
 def loss_mosi_y(cfg, preds, logits, labels, cur_epoch: float = 0) -> Tuple[Dict, None]:
-    return {"loss_move_y": _ce(preds["move_y"], labels["move_joint"])}, None
+    lab = labels.get("move_y", labels.get("move_joint"))
+    return {"loss_move_y": _ce(preds["move_y"], lab)}, None
 
 
 @SSL_LOSSES.register(name="Loss_MoSIJoint")
