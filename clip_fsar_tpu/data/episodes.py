@@ -47,9 +47,10 @@ class EpisodeSampler:
         else:
             self.shot = int(t.get("SHOT_TEST", t.SHOT))
             self.queries = int(t.get("QUERY_PER_CLASS_TEST", 1))
-            way_test = t.get("WAY_TEST", None)
-            if way_test:
-                self.way = int(way_test)
+            # NOTE: the reference always episodes TRAIN.WAY classes at test
+            # too (ssv2_few_shot.py:207); a test-time way override would
+            # also need the head's prototype layout to follow (heads are
+            # built for TRAIN.WAY), so none is offered here.
         self.num_frames = int(cfg.DATA.NUM_INPUT_FRAMES)
         self.classes = np.asarray(split.unique_classes())
 
@@ -145,17 +146,30 @@ class EpisodeLoader:
     identical episode stream for any worker count.
     """
 
-    def __init__(self, sampler_factory, episodes_per_step: int, num_workers: int = 4, prefetch: int = 2, num_steps: Optional[int] = None):
+    def __init__(
+        self,
+        sampler_factory,
+        episodes_per_step: int,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        num_steps: Optional[int] = None,
+        start_step: int = 0,
+    ):
         self.episodes_per_step = episodes_per_step
-        self.num_steps = num_steps
+        # steps are GLOBAL indices [start_step, start_step + num_steps):
+        # a resumed run passes start_step so the (seed, step) episode
+        # stream continues where it left off instead of replaying from 0
+        self.start_step = int(start_step)
+        self.num_steps = None if num_steps is None else int(num_steps) + self.start_step
         self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
         self._samplers = [sampler_factory(i) for i in range(max(num_workers, 1))]
         # reorder buffer: step index -> batch; bounded by window
         self._window = max(prefetch, 1) + len(self._samplers)
         self._buffer: dict = {}
         self._cond = threading.Condition()
-        self._next_claim = 0  # next step index a worker may claim
-        self._next_emit = 0  # next step index __iter__ will yield
+        self._next_claim = self.start_step  # next step index a worker may claim
+        self._next_emit = self.start_step  # next step index __iter__ will yield
         self._threads = []
         for s in self._samplers:
             th = threading.Thread(target=self._worker, args=(s,), daemon=True)
@@ -176,14 +190,22 @@ class EpisodeLoader:
             return None
 
     def _worker(self, sampler: EpisodeSampler) -> None:
-        while not self._stop.is_set():
-            step = self._claim()
-            if step is None:
-                return
-            sampler.reseed_for_step(step)
-            batch = stack_episodes([sampler.sample_episode() for _ in range(self.episodes_per_step)])
+        try:
+            while not self._stop.is_set():
+                step = self._claim()
+                if step is None:
+                    return
+                sampler.reseed_for_step(step)
+                batch = stack_episodes([sampler.sample_episode() for _ in range(self.episodes_per_step)])
+                with self._cond:
+                    self._buffer[step] = batch
+                    self._cond.notify_all()
+        except BaseException as e:  # noqa: BLE001 — re-raised in __iter__
+            # a dying worker would otherwise leave its claimed step
+            # unfilled and hang __iter__ forever with no error surfaced
             with self._cond:
-                self._buffer[step] = batch
+                self._error = e
+                self._stop.set()
                 self._cond.notify_all()
 
     def __iter__(self) -> Iterator[Episode]:
@@ -191,6 +213,8 @@ class EpisodeLoader:
             with self._cond:
                 while self._next_emit not in self._buffer and not self._stop.is_set():
                     self._cond.wait(timeout=0.2)
+                if self._error is not None:
+                    raise RuntimeError("episode worker failed") from self._error
                 if self._stop.is_set() and self._next_emit not in self._buffer:
                     return
                 batch = self._buffer.pop(self._next_emit)

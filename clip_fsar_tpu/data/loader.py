@@ -16,7 +16,9 @@ from clip_fsar_tpu.utils.registry import DATASET_REGISTRY
 from clip_fsar_tpu.data import datasets as _datasets  # noqa: F401
 
 
-def build_few_shot_loader(cfg, split: str, num_steps: Optional[int] = None, episodes_per_step: Optional[int] = None) -> EpisodeLoader:
+def build_few_shot_loader(
+    cfg, split: str, num_steps: Optional[int] = None, episodes_per_step: Optional[int] = None, start_step: int = 0
+) -> EpisodeLoader:
     name = cfg.TRAIN.DATASET if split == "train" else cfg.TEST.get("DATASET", cfg.TRAIN.DATASET)
     dataset = DATASET_REGISTRY.get(name)(cfg, split)
     if episodes_per_step is None:
@@ -27,6 +29,7 @@ def build_few_shot_loader(cfg, split: str, num_steps: Optional[int] = None, epis
         num_workers=int(cfg.DATA_LOADER.get("NUM_WORKERS", 4)),
         prefetch=int(cfg.DATA_LOADER.get("PREFETCH", 2)),
         num_steps=num_steps,
+        start_step=start_step,
     )
 
 

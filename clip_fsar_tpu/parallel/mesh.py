@@ -76,19 +76,23 @@ def _tp_spec_for(path_parts, shape) -> P:
     """Megatron-style sharding of transformer blocks: column-parallel
     qkv/c_fc (output dim over 'model'), row-parallel out_proj/c_proj
     (input dim over 'model'); everything else replicated.  GSPMD inserts
-    the all-reduce after each row-parallel matmul over ICI."""
+    the all-reduce after each row-parallel matmul over ICI.  Scan-over-
+    layers stacks per-layer params with a leading depth axis ([L, in,
+    out] kernels, [L, out] biases) — the same rules apply one axis later,
+    so TP keeps working under TPU.SCAN_LAYERS."""
     parts = [p.lower() for p in path_parts]
     leaf = parts[-1]
     module = parts[-2] if len(parts) >= 2 else ""
     col = module in ("q_proj", "k_proj", "v_proj", "mlp_c_fc", "to_q", "to_k", "to_v", "fc1", "to_qkv")
     row = module in ("out_proj", "mlp_c_proj", "to_out", "fc2", "proj")
-    if leaf == "kernel" and len(shape) == 2:
+    if leaf == "kernel" and len(shape) in (2, 3):
+        lead = (None,) * (len(shape) - 2)  # depth axis under scan_layers
         if col:
-            return P(None, "model")
+            return P(*lead, None, "model")
         if row:
-            return P("model", None)
-    if leaf == "bias" and col and len(shape) == 1:
-        return P("model")
+            return P(*lead, "model", None)
+    if leaf == "bias" and col and len(shape) in (1, 2):
+        return P(*((None,) * (len(shape) - 1)), "model")
     return P()
 
 
@@ -112,8 +116,21 @@ def shard_params(tree, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(place, tree)
 
 
+def data_axis_size(mesh: Mesh) -> int:
+    """Size of the 'data' axis — batches shard over it alone; with a 2-D
+    (data, model) mesh the model axis must NOT inflate the batch."""
+    return int(mesh.shape["data"]) if "data" in mesh.axis_names else mesh.devices.size
+
+
+def round_to_data_mesh(episodes_per_step: int, mesh: Mesh) -> int:
+    """Round UP to a data-axis multiple (each device takes an equal slice;
+    rounding down would silently shrink the configured batch)."""
+    n = data_axis_size(mesh)
+    return max(-(-int(episodes_per_step) // n), 1) * n
+
+
 def check_batch_divisible(episodes_per_step: int, mesh: Mesh) -> None:
-    n = mesh.devices.size
+    n = data_axis_size(mesh)
     if episodes_per_step % n:
         raise ValueError(
             f"TPU.EPISODES_PER_STEP={episodes_per_step} must be divisible by the "
@@ -131,18 +148,30 @@ def maybe_init_distributed(cfg=None) -> bool:
     no-op.  Returns True when distributed mode was initialized."""
     import os
 
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # read the environment BEFORE touching any jax API: jax.process_count()
+    # would initialize the local backend and make a later
+    # jax.distributed.initialize() fail ("must be called before any JAX
+    # operations")
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS")
     world = int(os.environ.get("WORLD_SIZE", os.environ.get("JAX_NUM_PROCESSES", "1")) or "1")
     rank = int(os.environ.get("RANK", os.environ.get("JAX_PROCESS_ID", "0")) or "0")
     pai = bool(cfg.get("PAI", False)) if cfg is not None else False
     if world > 1 and (coord or pai):
-        jax.distributed.initialize(
-            coordinator_address=coord,
-            num_processes=world,
-            process_id=rank,
-        )
+        if not coord:
+            raise RuntimeError(
+                "multi-process run requested (WORLD_SIZE>1 with PAI=true) but no "
+                "coordinator address: set JAX_COORDINATOR_ADDRESS (or COORDINATOR_ADDRESS)"
+            )
+        try:
+            already = jax.distributed.is_initialized()  # jax>=0.4.34
+        except AttributeError:
+            already = False
+        if not already:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=world,
+                process_id=rank,
+            )
         if cfg is not None:
             # reference cfg bookkeeping (launcher.py:21-27)
             cfg.SHARD_ID = rank

@@ -22,7 +22,14 @@ import numpy as np
 
 from clip_fsar_tpu.data.loader import build_few_shot_loader
 from clip_fsar_tpu.models.builder import build_few_shot_model
-from clip_fsar_tpu.parallel.mesh import build_mesh, check_batch_divisible, replicate, shard_batch, shard_params
+from clip_fsar_tpu.parallel.mesh import (
+    build_mesh,
+    check_batch_divisible,
+    replicate,
+    round_to_data_mesh,
+    shard_batch,
+    shard_params,
+)
 from clip_fsar_tpu.train.checkpoint import Checkpointer, auto_resume
 from clip_fsar_tpu.train.optimizer import build_optimizer, epoch_for_iter, get_lr_at_epoch
 from clip_fsar_tpu.train.state import TrainState
@@ -47,12 +54,17 @@ def build_state(cfg, model, tx) -> TrainState:
     )
 
 
-def evaluate(cfg, model, variables, mesh, num_tasks: int, episodes_per_step: int = None, split: str = "test") -> Dict[str, float]:
+def evaluate(
+    cfg, model, variables, mesh, num_tasks: int, episodes_per_step: int = None, split: str = "test", eval_step=None
+) -> Dict[str, float]:
     """Episode-sampled evaluation: top-1/top-5 over num_tasks episodes plus
-    per-class top-1 (reference test_net_few_shot.py:35-224)."""
-    eval_step = jax.jit(make_eval_step(model.head, cfg, model.text_train, model.text_test))
+    per-class top-1 (reference test_net_few_shot.py:35-224).  Pass a
+    pre-jitted ``eval_step`` when calling repeatedly (interleaved
+    validation) — a fresh closure per call would recompile the tower."""
+    if eval_step is None:
+        eval_step = jax.jit(make_eval_step(model.head, cfg, model.text_train, model.text_test))
     e = episodes_per_step or int(cfg.TPU.get("EPISODES_PER_STEP", 1))
-    e = max(e // mesh.devices.size, 1) * mesh.devices.size  # round to mesh-divisible
+    e = round_to_data_mesh(e, mesh)
     check_batch_divisible(e, mesh)
     # exactly num_tasks episodes are counted (reference cuts the loop at
     # NUM_TEST_TASKS, test_net_few_shot.py:57): surplus episodes of the
@@ -62,7 +74,7 @@ def evaluate(cfg, model, variables, mesh, num_tasks: int, episodes_per_step: int
 
     top1 = top5 = count = 0
     loss_sum = 0.0
-    episodes_left = max(num_tasks, e)
+    episodes_left = num_tasks
     per_class = collections.defaultdict(lambda: [0, 0])  # real label -> [correct, total]
     with build_few_shot_loader(cfg, split, num_steps=num_steps, episodes_per_step=e) as loader:
         for batch in loader:
@@ -100,12 +112,13 @@ def train_few_shot(cfg) -> Dict[str, float]:
     maybe_init_distributed(cfg)
     mesh = build_mesh(cfg)
     e = int(cfg.TPU.get("EPISODES_PER_STEP", 1))
-    n_dev = mesh.devices.size
-    if e % n_dev:
-        rounded = max(e // n_dev, 1) * n_dev
+    from clip_fsar_tpu.parallel.mesh import data_axis_size
+
+    rounded = round_to_data_mesh(e, mesh)
+    if rounded != e:
         logger.info(
             "TPU.EPISODES_PER_STEP=%d is not divisible by the %d-device data "
-            "mesh — rounding up to %d episodes/step", e, n_dev, rounded,
+            "mesh — rounding up to %d episodes/step", e, data_axis_size(mesh), rounded,
         )
         e = rounded
     check_batch_divisible(e, mesh)
@@ -151,8 +164,18 @@ def train_few_shot(cfg) -> Dict[str, float]:
     dropout_rng = jax.random.PRNGKey(int(cfg.get("RANDOM_SEED", 0)) + 1)
     best = {"top1_acc": 0.0}
 
+    # jit the eval step ONCE: interleaved validation (and its EMA pass)
+    # would otherwise recompile the tower on every VAL_FRE_ITER boundary
+    interleaved_eval_step = (
+        jax.jit(make_eval_step(model.head, cfg, model.text_train, model.text_test)) if val_every else None
+    )
+
     remaining = max(num_train_tasks - start_iter, 0)
-    with build_few_shot_loader(cfg, "train", num_steps=remaining, episodes_per_step=e) as loader:
+    # start_step=start_iter: a resumed run CONTINUES the (seed, step)
+    # episode stream instead of replaying episodes 0..remaining-1
+    with build_few_shot_loader(
+        cfg, "train", num_steps=remaining, episodes_per_step=e, start_step=start_iter
+    ) as loader:
         cur_iter = start_iter
         for batch in loader:
             t0 = time.perf_counter()
@@ -179,11 +202,17 @@ def train_few_shot(cfg) -> Dict[str, float]:
 
             if val_every and cur_iter % val_every == 0:
                 ckpt.save(cur_iter, jax.device_get(state))
-                stats = evaluate(cfg, model, jax.device_get(state).model_variables, mesh, num_val_tasks)
+                stats = evaluate(
+                    cfg, model, jax.device_get(state).model_variables, mesh, num_val_tasks,
+                    eval_step=interleaved_eval_step,
+                )
                 if stats["top1_acc"] >= best["top1_acc"]:
                     best = stats
                 if state.ema_params is not None:
-                    evaluate(cfg, model, jax.device_get(state).ema_variables(), mesh, num_val_tasks)
+                    evaluate(
+                        cfg, model, jax.device_get(state).ema_variables(), mesh, num_val_tasks,
+                        eval_step=interleaved_eval_step,
+                    )
 
     final_state = jax.device_get(state)
     ckpt.save(max(num_train_tasks, 1), final_state)
@@ -194,6 +223,9 @@ def train_few_shot(cfg) -> Dict[str, float]:
 
 def test_few_shot(cfg) -> Dict[str, float]:
     setup_logging(cfg.get("OUTPUT_DIR", None))
+    from clip_fsar_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed(cfg)  # same multi-host join as train_few_shot
     mesh = build_mesh(cfg)
     rng = jax.random.PRNGKey(int(cfg.get("RANDOM_SEED", 0)))
     model = build_few_shot_model(cfg, rng)
@@ -209,7 +241,5 @@ def test_few_shot(cfg) -> Dict[str, float]:
     ckpt.close()
 
     num_tasks = int(cfg.TRAIN.get("NUM_TEST_TASKS", 10000))
-    e = int(cfg.TEST.get("BATCH_SIZE", cfg.TPU.get("EPISODES_PER_STEP", 1)))
-    n_dev = mesh.devices.size
-    e = max(e // n_dev, 1) * n_dev  # round to mesh-divisible
+    e = round_to_data_mesh(int(cfg.TEST.get("BATCH_SIZE", cfg.TPU.get("EPISODES_PER_STEP", 1))), mesh)
     return evaluate(cfg, model, variables, mesh, num_tasks, episodes_per_step=e)
