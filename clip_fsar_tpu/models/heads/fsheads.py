@@ -584,7 +584,11 @@ def _hyrsm_pp_kw(cfg):
         temporal_balance=float(t.get("TEMPORAL_BALANCE", 1.0)),
         balance_coefficient=float(t.get("BALANCE_COEFFICIENT", 1.0) or 1.0),
         use_classification=bool(t.get("USE_CLASSIFICATION", False)),
-        use_pe=not bool(t.get("NO_POSITION", False)),
+        # reference gate order (few_shot.py:1918-1923): POSITION_A+B
+        # present -> PE with those scales (NO_POSITION ignored); elif
+        # NO_POSITION *present* (any value, hasattr-gated) -> PE off;
+        # else default PE
+        use_pe=("POSITION_A" in t and "POSITION_B" in t) or ("NO_POSITION" not in t),
     )
 
 
@@ -601,9 +605,14 @@ def build_hyrsm_pp_5shot(cfg, dtype=jnp.float32, **kw):
 @HEAD_REGISTRY.register(name="CNN_HyRSM_plusplus_semi")
 def build_hyrsm_pp_semi(cfg, dtype=jnp.float32, **kw):
     t = cfg.TRAIN
+    kw_pp = _hyrsm_pp_kw(cfg)
+    # the semi head computes class_logits UNCONDITIONALLY (reference
+    # few_shot.py:2275-2278 — unlike the 1/5-shot heads, there is no
+    # USE_CLASSIFICATION gate; NUM_CLASS falls back to 64)
+    kw_pp["use_classification"] = True
     return CNNHyRSMPlusPlusSemiHead(
         **_from_cfg_common(cfg),
-        **_hyrsm_pp_kw(cfg),
+        **kw_pp,
         semi_temporal=float(t.get("SEMI_TEMPORAL", 1.0) or 1.0),
         semi_threshold=float(t.get("SEMI_THRESHOLD", 0.8) or 0.8),
         dtype=dtype,

@@ -158,8 +158,17 @@ def test_epic_localization(cfg) -> Dict[str, float]:
 
     predictions = {}
     for video, plist in proposals.items():
-        kept = soft_nms(plist, nms_alpha, t1, t2, prop_num)
-        predictions[video] = [(p["xmin"], p["xmax"], p["score"], p.get("label", 0)) for p in kept]
+        # soft-NMS runs on DURATION-NORMALIZED segments (the reference
+        # normalizes before soft_nms and scales by duration only
+        # afterwards, tal_tools.py:346-357): its width-dependent threshold
+        # t1+(t2-t1)*width assumes widths in [0,1] — frame-unit widths
+        # would push the threshold past any IoU and disable the decay
+        duration = max(float(ds.annotations[video]["duration"]), 1e-6)
+        norm = [dict(p, xmin=p["xmin"] / duration, xmax=p["xmax"] / duration) for p in plist]
+        kept = soft_nms(norm, nms_alpha, t1, t2, prop_num)
+        predictions[video] = [
+            (p["xmin"] * duration, p["xmax"] * duration, p["score"], p.get("label", 0)) for p in kept
+        ]
 
     ground_truth = {
         v: [(a["segment"][0], a["segment"][1], int(a.get("verb", 0))) for a in info["annotations"]]

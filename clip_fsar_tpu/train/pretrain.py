@@ -164,6 +164,13 @@ def preprocess_checkpoint(cfg, params) -> Any:
                 temp = np.asarray(jax.image.resize(jnp.asarray(temp), (1, n_t, te.shape[2]), method="linear"))
                 flat[tkey] = np.concatenate([cls_te, temp], axis=1)
                 logger.info("checkpoint_preprocess: temp_embd -> %d tokens", n_t)
+    elif pos_mode in ("repeat", "super-resolution"):
+        # valid mode, but the checkpoint has no backbone/pos_embd to act
+        # on — surface the real problem instead of "unknown mode"
+        raise KeyError(
+            f"POS_EMBED={pos_mode!r} requested but the checkpoint has no {key!r} entry "
+            f"(keys look like: {sorted(flat)[:5]}...)"
+        )
     elif pos_mode not in (None, "", False):
         raise NotImplementedError(f"Unknown POS_EMBED preprocess {pos_mode!r}")
 
@@ -180,6 +187,10 @@ def preprocess_checkpoint(cfg, params) -> Any:
             new = np.repeat(w.reshape((1,) + w.shape[-4:]) if w.ndim == 5 else w[None], ts, axis=0)
             flat[ckey] = new / float(ts)
         logger.info("checkpoint_preprocess: %s tubelet init (size %d)", patch_mode, ts)
+    elif patch_mode in ("central_frame", "average"):
+        raise KeyError(
+            f"PATCH_EMBD={patch_mode!r} requested but the checkpoint has no {ckey!r} entry"
+        )
     elif patch_mode not in (None, "", False):
         raise NotImplementedError(f"Unknown PATCH_EMBD preprocess {patch_mode!r}")
 
@@ -223,6 +234,11 @@ def _load_raw(path: str) -> Optional[Dict[str, Any]]:
         steps = [d for d in os.listdir(cand) if d.isdigit()]
         if steps:
             cand = os.path.join(cand, str(max(int(s) for s in steps)))
+        # Checkpointer.save writes the pytree as the 'default' item under
+        # the step dir — StandardCheckpointer must be pointed at it, not
+        # at the step dir itself (no _METADATA there)
+        if os.path.isdir(os.path.join(cand, "default")):
+            cand = os.path.join(cand, "default")
         with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore(os.path.abspath(cand))
         return restored

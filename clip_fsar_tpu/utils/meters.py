@@ -85,8 +85,11 @@ class TrainMeter:
         self.loss.add_value(loss)
         self.lr = lr
         self.loss_total += loss * mb_size
-        self.num_top1_mis += int(top1_err * mb_size / 100.0)
-        self.num_top5_mis += int(top5_err * mb_size / 100.0)
+        # float accumulation like the reference (meters.py:600-601):
+        # int(err*size/100) truncates small-batch misses to zero and
+        # systematically under-reports epoch error
+        self.num_top1_mis += top1_err * mb_size / 100.0
+        self.num_top5_mis += top5_err * mb_size / 100.0
         self.num_samples += mb_size
         for k, v in extras.items():
             self.extra.setdefault(k, ScalarMeter(10)).add_value(float(v))

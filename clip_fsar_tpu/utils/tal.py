@@ -127,7 +127,10 @@ def detection_map(
     for v in ground_truth.values():
         labels.update(g[2] for g in v)
     if num_classes is not None:
-        labels = set(range(num_classes)) & (labels | set(range(num_classes)))
+        # evaluate every class id in range, whether or not it appears in
+        # the ground truth (absent classes contribute AP 0 like the
+        # reference's fixed class list)
+        labels = set(range(num_classes))
     labels = sorted(labels)
 
     aps = np.zeros((len(tiou_thresholds), len(labels)))

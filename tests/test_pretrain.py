@@ -194,3 +194,24 @@ def test_train_checkpoint_file_with_preprocess(tmp_path):
     np.testing.assert_array_equal(k[0], 0)
     assert np.abs(k[1]).sum() > 0
     np.testing.assert_array_equal(out["params"]["head"]["out"]["kernel"], 1.0)  # untouched
+
+
+def test_orbax_dir_checkpoint_loads_via_config_path(tmp_path):
+    """TEST/TRAIN.CHECKPOINT_FILE_PATH pointed at an orbax OUTPUT_DIR (or
+    its checkpoints/<step> dir) must restore — the pytree lives under the
+    step dir's 'default' item, which _load_raw must target (regression:
+    restoring the step dir itself raises FileNotFoundError on _METADATA)."""
+    import jax
+
+    from clip_fsar_tpu.train.checkpoint import Checkpointer
+
+    state = {"params": {"w": np.full(3, 5.0, np.float32)}, "step": np.int32(3)}
+    ckpt = Checkpointer(str(tmp_path))
+    ckpt.save(3, state)
+    ckpt.close()
+
+    template = {"params": {"w": np.zeros(3, np.float32)}}
+    for path in (str(tmp_path), os.path.join(tmp_path, "checkpoints"), os.path.join(tmp_path, "checkpoints", "3")):
+        out, ok = load_checkpoint_file(_cfg(), path, template)
+        assert ok, path
+        np.testing.assert_array_equal(out["params"]["w"], 5.0)
