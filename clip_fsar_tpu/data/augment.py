@@ -273,6 +273,54 @@ def apply_train_augment(rng: jax.Array, batch: jnp.ndarray, cfg, mean, std) -> j
     return x
 
 
+def fewshot_train_augment(rng: jax.Array, clips: jnp.ndarray, cfg, mean, std, is_query: bool) -> jnp.ndarray:
+    """Device-side tail of the reference's EPISODIC train stacks
+    (ssv2_few_shot.py:528-613): ColorJitter -> Normalize -> RandomErasing,
+    with the stacks' different gates — QUERY clips are jittered
+    UNCONDITIONALLY (transform_query appends ColorJitter outside any
+    flag), support clips only under AUGMENTATION.COLOR_AUG; RandomErasing
+    honors its own ENABLE in both stacks, and the support stack can be
+    opted out via AUGMENTATION.NO_RANDOM_ERASE.
+
+    clips: uint8 [N, T, H, W, 3] -> normalized float32 (one consistent
+    jitter draw per clip, CONSISTENT=true semantics)."""
+    aug = cfg.AUGMENTATION if "AUGMENTATION" in cfg else {}
+    x = clips.astype(jnp.float32) / 255.0
+    k1, k2 = jax.random.split(rng)
+    if is_query or bool(aug.get("COLOR_AUG", False)):
+        keys = jax.random.split(k1, x.shape[0])
+        jitter = lambda key, clip: color_jitter(
+            key,
+            clip,
+            brightness=float(aug.get("BRIGHTNESS", 0.0) or 0.0),
+            contrast=float(aug.get("CONTRAST", 0.0) or 0.0),
+            saturation=float(aug.get("SATURATION", 0.0) or 0.0),
+            hue=float(aug.get("HUE", 0.0) or 0.0),
+            grayscale=float(aug.get("GRAYSCALE", 0.0) or 0.0),
+            consistent=bool(aug.get("CONSISTENT", True)),
+            shuffle=bool(aug.get("SHUFFLE", True)),
+            gray_first=bool(aug.get("GRAY_FIRST", True)),
+        )
+        x = jax.vmap(jitter)(keys, x)
+    x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+    re = aug.get("RANDOM_ERASING", {})
+    erase = hasattr(re, "get") and bool(re.get("ENABLE", False))
+    if erase and not is_query and bool(aug.get("NO_RANDOM_ERASE", False)):
+        erase = False
+    if erase:
+        x = random_erasing(
+            k2,
+            x,
+            probability=float(re.get("PROB", 0.25) or 0.25),
+            area_range=tuple(re.get("AREA_RANGE", (0.02, 0.33))),
+            min_aspect=float(re.get("MIN_ASPECT", 0.3) or 0.3),
+            mode=str(re.get("MODE", "const") or "const"),
+            count=tuple(int(v) for v in re.get("COUNT", (1, 1))),
+            num_splits=int(re.get("NUM_SPLITS", 0) or 0),
+        )
+    return x
+
+
 # ---------------------------------------------------------------------------
 # host-side positional crop family (reference transformations.py:301-478)
 # ---------------------------------------------------------------------------

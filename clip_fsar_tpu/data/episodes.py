@@ -20,7 +20,7 @@ from typing import Iterator, Optional
 import numpy as np
 
 from clip_fsar_tpu.data.splits import FewShotSplit
-from clip_fsar_tpu.data.transforms import test_transform, train_transform
+from clip_fsar_tpu.data.transforms import fewshot_test_transform, fewshot_train_transform
 from clip_fsar_tpu.data.types import Episode
 from clip_fsar_tpu.utils.logging import get_logger
 
@@ -55,9 +55,11 @@ class EpisodeSampler:
         self.classes = np.asarray(split.unique_classes())
 
     # -- clip loading -------------------------------------------------------
-    def _load_clip(self, class_id: int, idx: int) -> np.ndarray:
+    def _load_clip(self, class_id: int, idx: int, is_query: bool = False) -> np.ndarray:
         """Decode + frame-sample + spatial transform one clip -> uint8
-        [T, crop, crop, 3]."""
+        [T, crop, crop, 3].  Support and query clips get the reference's
+        DIFFERENT train stacks (ssv2_few_shot.py:507-509): query clips
+        always flip, support clips only under AUGMENTATION.RANDOM_FLIP."""
         from clip_fsar_tpu.data.sampling import sample_indices_for_cfg
 
         path, _ = self.split.get(class_id, idx)
@@ -67,8 +69,8 @@ class EpisodeSampler:
         indices = sample_indices_for_cfg(self.cfg, self.mode, length, fps, self.rng)
         frames = self.decoder.read(path, indices)
         if self.mode == "train":
-            return train_transform(frames, self.cfg, self.rng)
-        return test_transform(frames, self.cfg)
+            return fewshot_train_transform(frames, self.cfg, self.rng, is_query=is_query)
+        return fewshot_test_transform(frames, self.cfg)
 
     def reseed_for_step(self, step: int) -> None:
         """Deterministic per-step stream: the episode content of step k
@@ -103,7 +105,7 @@ class EpisodeSampler:
             else:  # tiny classes: sample with replacement rather than fail
                 idxs = rng.choice(n_total, size=need, replace=True)
             for j, idx in enumerate(idxs):
-                clip = self._load_clip(class_id, int(idx))
+                clip = self._load_clip(class_id, int(idx), is_query=j >= self.shot)
                 if j < self.shot:
                     sup_imgs.append(clip)
                     sup_lab.append(local_label)

@@ -43,6 +43,9 @@ def interval_indices(
     arithmetic (base_dataset.py:524-529: end = start + clip_length -
     interval; linspace; clamp; truncate)."""
     if num_frames == 1:
+        # the reference draws a uniformly random frame in train AND test
+        # alike (base_dataset.py:495: random.randint regardless of split);
+        # the center frame is only a fallback when no rng is available
         if rng is None:
             return np.array([vid_length // 2])
         return np.array([int(rng.integers(0, vid_length))])
@@ -100,5 +103,8 @@ def sample_indices_for_cfg(cfg, split: str, vid_length: int, vid_fps: float, rng
         num_frames,
         interval,
         target_fps=float(cfg.DATA.get("TARGET_FPS", 30)),
-        rng=rng if split == "train" else None,
+        # rng gates TRAIN randomness inside interval_indices; the single-
+        # frame branch is random in every split (reference :495), so pass
+        # it through there too
+        rng=rng if (split == "train" or num_frames == 1) else None,
     )

@@ -143,6 +143,47 @@ def test_transform(frames: np.ndarray, cfg, spatial_idx: int = -1) -> np.ndarray
     return _fused_resize_crop(frames, nh, nw, y, x, size, flip=False)
 
 
+def _stretch_dims(cfg_scale) -> Tuple[int, int]:
+    """KineticsResizedCropFewshot sizing (reference transformations.py
+    :676-731): the clip is stretched to the FIXED size (scale[0],
+    scale[1]) — height = scale[0], width = scale[1] (aspect-destroying
+    with the shipped [256, 256] configs) — NOT a short-side resize."""
+    if isinstance(cfg_scale, (list, tuple)):
+        h = int(cfg_scale[0])
+        w = int(cfg_scale[1]) if len(cfg_scale) > 1 else h
+    else:
+        h = w = int(cfg_scale)
+    return h, w
+
+
+def fewshot_train_transform(frames: np.ndarray, cfg, rng: np.random.Generator, is_query: bool) -> np.ndarray:
+    """Episodic train transform (reference ssv2_few_shot.py:528-613):
+    [flip — query clips always, support only when AUGMENTATION.RANDOM_FLIP]
+    then fixed-size stretch + random crop.  ColorJitter / RandomErasing of
+    the same stacks run device-side in the jitted step (augment.py)."""
+    nh, nw = _stretch_dims(cfg.DATA.TRAIN_JITTER_SCALES)
+    size = int(cfg.DATA.TRAIN_CROP_SIZE)
+    if is_query:
+        flip = bool(rng.random() < 0.5)
+    else:
+        aug = cfg.AUGMENTATION if "AUGMENTATION" in cfg else {}
+        flip = bool(aug.get("RANDOM_FLIP", False)) and bool(rng.random() < 0.5)
+    # int(random.uniform(0, max)) of the reference lands in [0, max-1]
+    y = int(rng.integers(0, max(nh - size, 1)))
+    x = int(rng.integers(0, max(nw - size, 1)))
+    return _fused_resize_crop(frames, nh, nw, y, x, size, flip)
+
+
+def fewshot_test_transform(frames: np.ndarray, cfg) -> np.ndarray:
+    """Episodic eval transform: fixed-size stretch + controlled crop
+    (TEST_CENTER_CROP present -> controlled/center; reference
+    ssv2_few_shot.py:614-642 + transformations.py:676-716)."""
+    nh, nw = _stretch_dims(cfg.DATA.TEST_SCALE)
+    size = int(cfg.DATA.TEST_CROP_SIZE)
+    y, x = (nh - size) // 2, (nw - size) // 2
+    return _fused_resize_crop(frames, nh, nw, y, x, size, flip=False)
+
+
 def normalize_images(images, mean: Sequence[float], std: Sequence[float]):
     """Device-side: uint8/float [... ,3] -> normalized float32.  Call
     inside jit; XLA fuses it into the consumer."""

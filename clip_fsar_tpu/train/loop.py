@@ -157,7 +157,6 @@ def train_few_shot(cfg) -> Dict[str, float]:
     num_train_tasks = int(cfg.TRAIN.NUM_TRAIN_TASKS)
     val_every = int(cfg.TRAIN.get("VAL_FRE_ITER", 0) or 0)
     num_val_tasks = int(cfg.TRAIN.get("NUM_VAL_TASKS", 500))
-    data_size = max(int(cfg.TRAIN.get("NUM_SAMPLES", 1000000)) // max(e, 1), 1)
 
     loss_meter = ScalarMeter(int(cfg.get("LOG_PERIOD", 10)))
     t_meter = ScalarMeter(int(cfg.get("LOG_PERIOD", 10)))
@@ -179,7 +178,7 @@ def train_few_shot(cfg) -> Dict[str, float]:
         cur_iter = start_iter
         for batch in loader:
             t0 = time.perf_counter()
-            lr = get_lr_at_epoch(cfg, epoch_for_iter(cfg, cur_iter, data_size))
+            lr = get_lr_at_epoch(cfg, epoch_for_iter(cfg, cur_iter))
             dropout_rng, step_rng = jax.random.split(dropout_rng)
             state, metrics = train_step(state, shard_batch(batch, mesh), jnp.float32(lr), step_rng)
             cur_iter += 1

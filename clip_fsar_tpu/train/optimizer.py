@@ -66,14 +66,18 @@ def get_lr_at_epoch(cfg, cur_epoch: float) -> float:
     return lr
 
 
-def epoch_for_iter(cfg, cur_iter: int, data_size: int) -> float:
-    """Few-shot trainers are iteration-driven: the 'epoch' is
-    cur_iter // SOLVER.STEPS_ITER plus a fractional term
-    (train_net_few_shot.py:65,95)."""
+def epoch_for_iter(cfg, cur_iter: int, data_size: int = 0) -> float:
+    """Few-shot trainers are iteration-driven.  Exact reference math
+    (train_net_few_shot.py:58,65,95): data_size is OVERWRITTEN with
+    SOLVER.STEPS_ITER before the loop, so the lr epoch at global iter i is
+    i // STEPS_ITER + NUM_FOLDS * i / STEPS_ITER — the fractional term
+    divides by STEPS_ITER too (for NUM_FOLDS=1 the schedule advances at
+    ~2i/STEPS_ITER; a reference quirk, preserved).  ``data_size`` is
+    accepted for backward compatibility and ignored."""
     steps_iter = int(cfg.SOLVER.get("STEPS_ITER", 1) or 1)
     cur_epoch = cur_iter // steps_iter
     num_folds = int(cfg.TRAIN.get("NUM_FOLDS", 1))
-    return cur_epoch + num_folds * float(cur_iter) / max(data_size, 1)
+    return cur_epoch + num_folds * float(cur_iter) / max(steps_iter, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -152,21 +156,44 @@ def make_fixed_mask(params, cfg, name_prefix: str = "") -> Any:
     return jax.tree_util.tree_map_with_path(is_fixed, params)
 
 
-def scale_by_lars(momentum: float = 0.9, trust_coefficient: float = 0.001, eps: float = 1e-8):
-    """LARS layer-wise adaptive scaling (capability of models/utils/lars.py)."""
+def scale_by_lars(
+    momentum: float = 0.9,
+    trust_coefficient: float = 0.001,
+    wd_tree=None,
+    nesterov: bool = False,
+):
+    """LARS (reference models/utils/lars.py:75-117, exact math):
+    local_lr = eta * ||p|| / (||g|| + wd * ||p||) with the RAW gradient
+    norm (weight decay enters the denominator as wd*||p||, not folded into
+    g first); the update is (g + wd*p) * local_lr, accumulated in the
+    momentum buffer.  ``wd_tree`` gives the per-leaf weight decay (the
+    reference's per-group wd).  One deliberate divergence, see PARITY.md:
+    the reference multiplies the CURRENT lr into the momentum buffer; here
+    lr is applied after the transformation (apply_lr), so under a varying
+    schedule the momentum history is weighted by the current lr instead of
+    each step's historical lr."""
 
     def init_fn(params):
         return {"momentum": jax.tree_util.tree_map(jnp.zeros_like, params)}
 
     def update_fn(updates, state, params=None):
-        def one(g, p, m):
+        def one(g, p, m, wd):
             p_norm = jnp.linalg.norm(p.reshape(-1))
             g_norm = jnp.linalg.norm(g.reshape(-1))
-            trust = jnp.where((p_norm > 0) & (g_norm > 0), trust_coefficient * p_norm / (g_norm + eps), 1.0)
-            return momentum * m + trust * g
+            local_lr = jnp.where(
+                (p_norm > 0) & (g_norm > 0),
+                trust_coefficient * p_norm / (g_norm + wd * p_norm),
+                1.0,
+            )
+            d = (g + wd * p) * local_lr
+            buf = momentum * m + d
+            return (d + momentum * buf if nesterov else buf), buf
 
-        new_m = jax.tree_util.tree_map(one, updates, params, state["momentum"])
-        return new_m, {"momentum": new_m}
+        wds = wd_tree if wd_tree is not None else jax.tree_util.tree_map(lambda _: 0.0, updates)
+        out = jax.tree_util.tree_map(one, updates, params, state["momentum"], wds)
+        upd = jax.tree_util.tree_map(lambda t: t[0], out, is_leaf=lambda t: isinstance(t, tuple))
+        new_m = jax.tree_util.tree_map(lambda t: t[1], out, is_leaf=lambda t: isinstance(t, tuple))
+        return upd, {"momentum": new_m}
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -221,9 +248,19 @@ def build_optimizer(cfg, params, name_prefix: str = "") -> optax.GradientTransfo
             chain.append(optax.add_decayed_weights(bn_wd, mask=bn_mask))
         chain.append(optax.trace(decay=float(s.get("MOMENTUM", 0.9)), nesterov=bool(s.get("NESTEROV", False))))
     elif method == "lars":
-        if wd:
-            chain.append(optax.add_decayed_weights(wd, mask=decay_mask))
-        chain.append(scale_by_lars(momentum=float(s.get("MOMENTUM", 0.9))))
+        # weight decay goes INSIDE the LARS rule (per-group wd in the
+        # trust-ratio denominator, reference lars.py:96-103) — folding it
+        # into the gradient first would change ||g||
+        wd_tree = jax.tree_util.tree_map(
+            lambda g: wd if g in ("rest", "head") else (bn_wd if g == "bn" else 0.0), groups
+        )
+        chain.append(
+            scale_by_lars(
+                momentum=float(s.get("MOMENTUM", 0.9)),
+                wd_tree=wd_tree,
+                nesterov=bool(s.get("NESTEROV", False)),
+            )
+        )
     else:
         raise NotImplementedError(f"Unsupported OPTIM_METHOD {method!r}")
 

@@ -103,7 +103,24 @@ def make_train_step(head, tx, cfg, text_train, text_test) -> Callable:
         return losses.mean(), (jax.tree_util.tree_map(lambda m: m.mean(), metrics), new_stats)
 
     def train_step(state: TrainState, batch: Episode, lr: jnp.ndarray, rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        batch = _normalize_episode(batch, mean, std)
+        # device-side tail of the reference's episodic train stacks
+        # (ColorJitter / Normalize / RandomErasing with support-vs-query
+        # gates, data/augment.py); flatten [E, N, ...] clips for per-clip
+        # jitter draws
+        from clip_fsar_tpu.data.augment import fewshot_train_augment
+
+        rng, ks, kt = jax.random.split(rng, 3)
+
+        def aug(images, key, is_query):
+            e, n = images.shape[:2]
+            flat = images.reshape((e * n,) + images.shape[2:])
+            out = fewshot_train_augment(key, flat, cfg, mean, std, is_query=is_query)
+            return out.reshape((e, n) + out.shape[1:])
+
+        batch = batch.replace(
+            support_images=aug(batch.support_images, ks, False),
+            target_images=aug(batch.target_images, kt, True),
+        )
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(batch_loss, has_aux=True)(
             state.params, state.batch_stats, batch, rng
         )

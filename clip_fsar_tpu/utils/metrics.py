@@ -36,18 +36,30 @@ def joint_topk_correct(
 ) -> Tuple[list, list, list]:
     """Joint verb x noun top-k (EPIC protocol, reference metrics.py:12-96).
 
+    The joint score is the top-k over the FLATTENED product distribution
+    softmax(verb) ⊗ softmax(noun) against the pair index verb*Nb + noun —
+    NOT 'verb in top-k AND noun in top-k' (equivalent only at k=1).
     Returns (joint_correct, a_correct, b_correct) lists aligned with ks.
     """
+    import jax
+
     max_k = max(ks)
     top_a = jnp.argsort(-preds_a, axis=-1)[:, :max_k]
     top_b = jnp.argsort(-preds_b, axis=-1)[:, :max_k]
     hit_a = top_a == labels_a[:, None].astype(top_a.dtype)
     hit_b = top_b == labels_b[:, None].astype(top_b.dtype)
+
+    pa = jax.nn.softmax(preds_a, axis=-1)
+    pb = jax.nn.softmax(preds_b, axis=-1)
+    nb = preds_b.shape[-1]
+    joint = (pa[:, :, None] * pb[:, None, :]).reshape(preds_a.shape[0], -1)
+    joint_label = labels_a.astype(jnp.int64) * nb + labels_b.astype(jnp.int64)
+    top_j = jnp.argsort(-joint, axis=-1)[:, :max_k]
+    hit_j = top_j == joint_label[:, None].astype(top_j.dtype)
+
     out_joint, out_a, out_b = [], [], []
     for k in ks:
-        a_k = jnp.any(hit_a[:, :k], axis=1)
-        b_k = jnp.any(hit_b[:, :k], axis=1)
-        out_joint.append(jnp.sum(a_k & b_k).astype(jnp.float32))
-        out_a.append(jnp.sum(a_k).astype(jnp.float32))
-        out_b.append(jnp.sum(b_k).astype(jnp.float32))
+        out_joint.append(jnp.sum(jnp.any(hit_j[:, :k], axis=1)).astype(jnp.float32))
+        out_a.append(jnp.sum(jnp.any(hit_a[:, :k], axis=1)).astype(jnp.float32))
+        out_b.append(jnp.sum(jnp.any(hit_b[:, :k], axis=1)).astype(jnp.float32))
     return out_joint, out_a, out_b

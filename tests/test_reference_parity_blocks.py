@@ -653,9 +653,10 @@ def test_topk_metrics_match_reference():
     assert got == want
 
     # the reference's joint_topks_correct trips a torch>=2 non-contiguous
-    # .view error (metrics.py:75) — use a numpy oracle of its documented
-    # semantics instead: a joint top-k hit needs verb AND noun each in
-    # their own top-k (metrics.py:12-96)
+    # .view error (metrics.py:75) so it cannot run directly; this numpy
+    # oracle replicates its ACTUAL math line by line (metrics.py:45-97):
+    # the joint score is the top-k of the FLATTENED product distribution
+    # softmax(verb) ⊗ softmax(noun) against pair index verb*Nn + noun
     pv = rng.randn(16, 6).astype(np.float32)
     pn = rng.randn(16, 7).astype(np.float32)
     lv = rng.randint(0, 6, size=16).astype(np.int64)
@@ -665,11 +666,20 @@ def test_topk_metrics_match_reference():
         order = np.argsort(-p, axis=1)[:, :k]
         return (order == l[:, None]).any(1)
 
+    def softmax_np(x):
+        e = np.exp(x - x.max(axis=1, keepdims=True))
+        return e / e.sum(axis=1, keepdims=True)
+
+    joint = (softmax_np(pv)[:, :, None] * softmax_np(pn)[:, None, :]).reshape(16, -1)
+    jl = lv * 7 + ln
+
     got_joint, got_v, got_n = joint_topk_correct(jnp.asarray(pv), jnp.asarray(pn), jnp.asarray(lv), jnp.asarray(ln), [1, 5])
     for i, k in enumerate((1, 5)):
         assert float(got_v[i]) == hits(pv, lv, k).sum()
         assert float(got_n[i]) == hits(pn, ln, k).sum()
-        assert float(got_joint[i]) == (hits(pv, lv, k) & hits(pn, ln, k)).sum()
+        assert float(got_joint[i]) == hits(joint, jl, k).sum()
+    # at k=1 the product-space argmax pair == (argmax verb, argmax noun)
+    assert float(got_joint[0]) == (hits(pv, lv, 1) & hits(pn, ln, 1)).sum()
 
 
 def test_test_meter_matches_reference():

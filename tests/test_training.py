@@ -46,9 +46,17 @@ def test_warmup_interpolates_to_policy():
 
 
 def test_epoch_for_iter():
+    """Exact reference math (train_net_few_shot.py:58,65,95): lr epoch =
+    i // STEPS_ITER + NUM_FOLDS * i / STEPS_ITER — the fractional term
+    divides by STEPS_ITER (data_size is overwritten with STEPS_ITER in
+    the reference before the loop), so the schedule advances at ~2x the
+    naive i/STEPS_ITER rate for NUM_FOLDS=1."""
     cfg = solver_cfg()
-    assert epoch_for_iter(cfg, 0, 10**6) == pytest.approx(0.0)
-    assert epoch_for_iter(cfg, 1400, 10**6) == pytest.approx(2.0, abs=0.01)
+    assert epoch_for_iter(cfg, 0) == pytest.approx(0.0)
+    assert epoch_for_iter(cfg, 350) == pytest.approx(0.5)  # 0 + 350/700
+    assert epoch_for_iter(cfg, 1400) == pytest.approx(4.0)  # 2 + 1400/700
+    cfg.TRAIN.NUM_FOLDS = 2
+    assert epoch_for_iter(cfg, 700) == pytest.approx(3.0)  # 1 + 2*700/700
 
 
 def test_cosine_policy():
