@@ -160,4 +160,5 @@ def test_apply_train_augment_pipeline():
     assert not np.allclose(np.asarray(out), np.asarray(plain))  # pixels actually changed
     # jit-compatible (device-side path)
     jout = jax.jit(lambda r, b: augment.apply_train_augment(r, b, cfg, mean, std))(jax.random.PRNGKey(0), batch)
-    np.testing.assert_allclose(np.asarray(jout), np.asarray(out), rtol=1e-5, atol=1e-6)
+    # jit fusion may reassociate the blend arithmetic — allow float slack
+    np.testing.assert_allclose(np.asarray(jout), np.asarray(out), rtol=1e-4, atol=1e-5)
