@@ -50,7 +50,11 @@ def mixup_batch(
     use_cutmix = (cutmix_alpha > 0.0) & (jax.random.uniform(r_switch) < switch_prob) if mixup_alpha > 0 else cutmix_alpha > 0
 
     alpha = jnp.where(use_cutmix, cutmix_alpha, mixup_alpha)
-    lam = jnp.where(use, jax.random.beta(r_lam, alpha, alpha), 1.0)
+    # beta(0, 0) is NaN; with both alphas 0 there is nothing to mix
+    # (the reference asserts on this config, mixup.py:152) — degrade to
+    # lam=1 (no-op) instead of silently NaN-ing every step
+    safe_alpha = jnp.maximum(alpha, 1e-8)
+    lam = jnp.where(use & (alpha > 0), jax.random.beta(r_lam, safe_alpha, safe_alpha), 1.0)
 
     flipped = videos[::-1]
     b, t, h, w, c = videos.shape

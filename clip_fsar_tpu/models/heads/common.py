@@ -111,7 +111,7 @@ class TransformerV1(nn.Module):
     def __call__(self, q, k, v, deterministic: bool = True) -> jnp.ndarray:
         x = q
         for layer in range(self.depth):
-            ln = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name=f"norm_{layer}")
+            ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name=f"norm_{layer}")
             attn = AttentionQKV(
                 self.dim, heads=self.heads, dim_head=self.dim_head_k, dropout=self.dropout_atte,
                 dtype=self.dtype, name=f"attn_{layer}",
@@ -178,7 +178,7 @@ class ResidualMHA(nn.Module):
         out = merge_heads(jnp.einsum("bhqk,bhkd->bhqd", probs, vh))
         out = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name="fc")(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
-        ln = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="layer_norm")
+        ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="layer_norm")
         return ln((out + residual).astype(jnp.float32)).astype(out.dtype)
 
 
@@ -194,7 +194,7 @@ class PreNormSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True) -> jnp.ndarray:
-        ln = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="norm")
+        ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="norm")
         y = ln(x.astype(jnp.float32)).astype(x.dtype)
         inner = self.heads * self.dim_head
         qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="to_qkv")(y)

@@ -151,7 +151,7 @@ class TemporalCrossTransformer(nn.Module):
 
         k_linear = nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=jnp.float32, name="k_linear")
         v_linear = nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=jnp.float32, name="v_linear")
-        norm_k = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="norm_k")
+        norm_k = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="norm_k")
 
         sup_ks = norm_k(k_linear(s).astype(jnp.float32))
         q_ks = norm_k(k_linear(q).astype(jnp.float32))

@@ -12,8 +12,9 @@ Streams:
     (appearance + LOGIT_BALANCE_COFF * motion) plus global<->local
     s2q/q2s contrastive logits scaled by learnable temperatures.
 
-BatchNorm in the decoder runs with frozen batch statistics (see
-heads/fsheads.py note on episodic BN).
+Decoder BatchNorms train on per-episode batch statistics like the
+reference (running stats updated via the step's mutable batch_stats,
+averaged across the episode vmap); eval uses running averages.
 """
 
 from __future__ import annotations
@@ -65,13 +66,13 @@ class UpBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, scale: int = 0):
+    def __call__(self, x, scale: int = 0, use_running_average: bool = True):
         s = scale or self.scale
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * s, w * s, c), method="bilinear")
         x = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
-        x = BatchNorm(use_running_average=True, name="bn")(x)
+        x = BatchNorm(use_running_average=use_running_average, name="bn")(x)
         return nn.relu(x)
 
 
@@ -100,6 +101,9 @@ class MoLoHead(nn.Module):
     position_a: float = 10.0
     position_b: float = 1.0
     dtype: jnp.dtype = jnp.float32
+    # the decoder BNs train on batch statistics -> the train step must
+    # open mutable batch_stats (train/step.py keys on this attribute)
+    train_backbone_bn: bool = True
 
     FACTOR = 8
 
@@ -119,7 +123,9 @@ class MoLoHead(nn.Module):
         self.outc = nn.Conv(3, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)
         if self.use_classification:
             self.classification_layer = nn.Dense(self.num_class, dtype=self.dtype, param_dtype=jnp.float32)
-        if not self.temp_coff:
+        # temperature params exist ONLY under USE_CONTRASTIVE (reference
+        # few_shot.py:2400-2409) — param-tree parity with its checkpoints
+        if self.use_contrastive and not self.temp_coff:
             self.scale = self.param("scale", nn.initializers.ones, (1,), jnp.float32)
             self.scale_motion = self.param("scale_motion", nn.initializers.ones, (1,), jnp.float32)
         self.pe_drop = nn.Dropout(0.1)
@@ -156,9 +162,12 @@ class MoLoHead(nn.Module):
         # decoder scales: total upscale = image resolution / grid size
         ratio = images.shape[2] // h
         s3 = max(ratio // 8, 1)
-        rec = self.up1(motion, scale=2)
-        rec = self.up2(rec, scale=4)
-        rec = self.up3(rec, scale=s3)
+        # the reference trains the decoder's fresh BatchNorms on batch
+        # statistics (few_shot.py:889-962 DoubleConv2); running stats are
+        # used only at eval
+        rec = self.up1(motion, scale=2, use_running_average=deterministic)
+        rec = self.up2(rec, scale=4, use_running_average=deterministic)
+        rec = self.up3(rec, scale=s3, use_running_average=deterministic)
         rec = self.outc(rec)  # [N*(T-1), H', W', 3]
         if rec.shape[1] != images.shape[2]:  # non-divisible ratios
             rec = jax.image.resize(rec, (rec.shape[0], images.shape[2], images.shape[3], 3), method="bilinear")
@@ -195,8 +204,14 @@ class MoLoHead(nn.Module):
         sup_app = class_mean(sup_app, labels, way)  # [WAY, T+1, D]
         sup_mot = class_mean(sup_mot, labels, way)
 
-        scale = self.scale.astype(jnp.float32) if not self.temp_coff else jnp.float32(self.temp_coff)
-        scale_m = self.scale_motion.astype(jnp.float32) if not self.temp_coff else jnp.float32(self.temp_coff)
+        # the scale multiply is gated like its params (reference applies it
+        # only under USE_CONTRASTIVE, :2571-2603); without the gate the
+        # s2q/q2s outputs are unscaled (and unused by the loss)
+        if self.use_contrastive:
+            scale = self.scale.astype(jnp.float32) if not self.temp_coff else jnp.float32(self.temp_coff)
+            scale_m = self.scale_motion.astype(jnp.float32) if not self.temp_coff else jnp.float32(self.temp_coff)
+        else:
+            scale = scale_m = jnp.float32(1.0)
 
         def token_logits(sup, tgt, sc):
             sup_g, tgt_g = sup[:, 0, :], tgt[:, 0, :]

@@ -25,6 +25,8 @@ def mha(
     mask: Optional[jnp.ndarray] = None,
     backend: str = "xla",
     causal: bool = False,
+    prob_dropout_rate: float = 0.0,
+    prob_dropout_rng=None,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over head-split tensors.
 
@@ -40,7 +42,7 @@ def mha(
     step throughput on ViT-B/16 train, see PERFORMANCE.md) at the cost of
     lower-precision probabilities; gated by ``TPU.SOFTMAX_DTYPE``.
     """
-    if backend == "pallas":
+    if backend == "pallas" and not (prob_dropout_rate > 0.0 and prob_dropout_rng is not None):
         from clip_fsar_tpu.ops.flash_attention import flash_mha
 
         return flash_mha(q, k, v, mask=mask, causal=causal)
@@ -55,6 +57,13 @@ def mha(
     if mask is not None:
         logits = logits + mask.astype(smax_dtype)
     probs = jnn.softmax(logits, axis=-1)
+    if prob_dropout_rate > 0.0 and prob_dropout_rng is not None:
+        # dropout on the softmaxed attention probabilities (reference
+        # transformer.py:68,94 applies nn.Dropout(ATTN_DROPOUT) there)
+        import jax
+
+        keep = 1.0 - prob_dropout_rate
+        probs = probs * jax.random.bernoulli(prob_dropout_rng, keep, probs.shape).astype(probs.dtype) / keep
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype), v, preferred_element_type=jnp.float32)
     return out.astype(dtype)
 

@@ -47,7 +47,12 @@ def make_train_step(head, tx, cfg, text_train, text_test) -> Callable:
     temporal_weight = float(cfg.TRAIN.get("TEMPORAL_LOSS_WEIGHT", 0.0) or 0.0)
     use_contrastive = bool(cfg.TRAIN.get("USE_CONTRASTIVE", False))
     contrastive_coff = float(cfg.TRAIN.get("USE_CONTRASTIVE_COFF", 1.0) or 1.0)
+    # the reference divides every CE term by BATCH_SIZE but adds
+    # RECONS_COFF*loss_recons UNdivided (train_net_few_shot.py:131-133);
+    # relative to this step's mean-over-episodes CE that makes the
+    # effective reconstruction weight RECONS_COFF * BATCH_SIZE
     recons_coff = float(cfg.TRAIN.get("RECONS_COFF", 0.0) or 0.0) if cfg.TRAIN.get("USE_RECONS", False) else 0.0
+    recons_coff *= float(cfg.TRAIN.get("BATCH_SIZE", 1) or 1)
     num_frames = int(cfg.DATA.NUM_INPUT_FRAMES)
     ema_decay = float(cfg.MODEL.EMA.DECAY) if ("MODEL" in cfg and cfg.MODEL.EMA.get("ENABLE", False)) else None
 
