@@ -130,7 +130,11 @@ def test_molo_head():
     head = MoLoHead(backbone_name=BACKBONE, way=WAY, num_frames=T, num_class=11, use_classification=True)
     ep = make_episode(5)
     variables = head.init(jax.random.PRNGKey(0), ep, train=True)
-    out = head.apply(variables, ep, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    # MoLo trains its decoder BatchNorms (train_backbone_bn=True), so train-mode
+    # apply must open batch_stats as mutable — mirrors train/step.py:69-75.
+    out, _ = head.apply(
+        variables, ep, train=True, rngs={"dropout": jax.random.PRNGKey(1)}, mutable=["batch_stats"]
+    )
     q = WAY * QPC
     assert out["logits"].shape == (q, WAY)
     assert out["logits_s2q"].shape == (q, WAY)
