@@ -83,6 +83,39 @@ def parse_bmn_proposals(
     return props
 
 
+def fuse_verb_noun_map(
+    verb_scores: np.ndarray,  # [num_verbs]
+    noun_scores: np.ndarray,  # [num_nouns]
+    verb_topk: int = 10,
+    noun_topk: int = 30,
+    topk: int = 20,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fuse per-proposal verb/noun distributions into a ranked action list
+    (reference fuse_verb_noun_map, tal_tools.py:139-167).
+
+    Takes the top `verb_topk` verbs x top `noun_topk` nouns, scores every
+    pair by the product of the two scores, and returns the `topk` best:
+      index [topk, 2] int — (verb_id, noun_id) per action candidate;
+      score [topk, 3] — (verb_score, noun_score, fused_score).
+    """
+    verb_scores = np.asarray(verb_scores, np.float64)
+    noun_scores = np.asarray(noun_scores, np.float64)
+    verb_index = np.argsort(-verb_scores, kind="stable")[:verb_topk]
+    noun_index = np.argsort(-noun_scores, kind="stable")[:noun_topk]
+    # [noun_topk, verb_topk] so that flat // n_verbs is the noun row, matching
+    # the reference's pesdo_noun_index = idx // verb_topk decode
+    fuse = noun_scores[noun_index][:, None] * verb_scores[verb_index][None, :]
+    flat = np.argsort(-fuse.reshape(-1), kind="stable")
+    n_verbs = len(verb_index)
+    real_noun = noun_index[flat // n_verbs]
+    real_verb = verb_index[flat % n_verbs]
+    index = np.stack([real_verb, real_noun], axis=1)[:topk]
+    score = np.stack(
+        [verb_scores[real_verb], noun_scores[real_noun], fuse.reshape(-1)[flat]], axis=1
+    )[:topk]
+    return index, score
+
+
 def soft_nms(proposals: List[Dict[str, float]], alpha: float, t1: float, t2: float, prop_num: int, iou_power: float = 2.0) -> List[Dict[str, float]]:
     """Gaussian soft-NMS with width-dependent threshold
     (reference tal_tools.py:249-296)."""

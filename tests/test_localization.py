@@ -116,7 +116,10 @@ def test_tal_train_and_eval_e2e(tal_cfg):
     stats = train_localization(tal_cfg)
     assert np.isfinite(stats["final_loss"])
     result = test_epic_localization(tal_cfg)
-    assert "mAP_avg" in result and 0.0 <= result["mAP_avg"] <= 1.0
+    # three evaluation streams (reference eval_epic_detection.py:231-242)
+    for stream in ("action", "verb", "noun"):
+        key = f"{stream}/mAP_avg"
+        assert key in result and 0.0 <= result[key] <= 1.0
 
 
 def test_submission(tal_cfg):

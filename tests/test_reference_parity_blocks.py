@@ -829,3 +829,58 @@ def test_epoch_cadence_matches_reference():
     for e in range(50):
         assert is_eval_epoch(our_cfg, e) == rmisc.is_eval_epoch(ref_cfg, e), e
         assert is_checkpoint_epoch(our_cfg, e) == rckp.is_checkpoint_epoch(ref_cfg, e), e
+
+
+def test_verb_noun_fusion_matches_reference():
+    """fuse_verb_noun_map vs the reference (tal_tools.py:139-167): identical
+    (verb, noun) candidate ranking and (verb, noun, fused) score triples on
+    random per-proposal class distributions."""
+    import torch
+    import utils.tal_tools as ref_tal
+
+    from clip_fsar_tpu.utils.tal import fuse_verb_noun_map
+
+    rng = np.random.RandomState(33)
+    for _ in range(5):
+        verb = rng.rand(97).astype(np.float32)
+        noun = rng.rand(300).astype(np.float32)
+        want_idx, want_score = ref_tal.fuse_verb_noun_map(None, torch.from_numpy(verb), torch.from_numpy(noun))
+        got_idx, got_score = fuse_verb_noun_map(verb, noun)
+        np.testing.assert_array_equal(got_idx, want_idx)
+        np.testing.assert_allclose(got_score, want_score, rtol=1e-6, atol=1e-7)
+
+
+def test_tal_three_stream_eval_and_action_expansion():
+    """The TAL post-processing fans each surviving proposal into its top-5
+    fused actions with score*fused^power (reference tal_tools.py:359-371)
+    and the evaluator scores verb/noun/action streams separately."""
+    from clip_fsar_tpu.config import Config
+    from clip_fsar_tpu.train.localization import _post_process
+    from clip_fsar_tpu.utils.tal import detection_map
+
+    cfg = Config({"LOCALIZATION": {"POST_PROCESS": {
+        "SOFT_NMS_ALPHA": 0.4, "SOFT_NMS_LOW_THRES": 0.0, "SOFT_NMS_HIGH_THRES": 0.0,
+        "PROP_NUM": 10, "SELECT_SCORE": 0.0, "SCORE_TYPE": "cr",
+        "CLR_POWER": 1.0, "REG_POWER": 1.0, "ACTION_SCORE_POWER": 1.0, "USE_TOPK": 2,
+    }}})
+
+    class _DS:
+        annotations = {"v0": {"duration": 10.0, "annotations": [
+            {"segment": [1.0, 3.0], "verb": 2, "noun": 1},
+        ]}}
+
+    vn = np.array([[2, 1], [0, 3]])
+    vs = np.array([[0.9, 0.8, 0.72], [0.5, 0.4, 0.2]])
+    proposals = {"v0": [{"xmin": 1.0, "xmax": 3.0, "score": 0.9, "clr_score": 0.9,
+                         "reg_score": 1.0, "xmin_score": 0.9, "xmax_score": 0.9,
+                         "verb_noun": vn, "vn_score": vs, "label": 2}]}
+    preds = _post_process(cfg, proposals, _DS())
+    assert len(preds["v0"]) == 2  # one proposal x top-2 actions
+    assert preds["v0"][0]["verb"] == 2 and preds["v0"][0]["noun"] == 1
+    assert abs(preds["v0"][0]["score"] - 0.9 * 0.72) < 1e-9
+    assert preds["v0"][1]["verb"] == 0 and preds["v0"][1]["noun"] == 3
+
+    gt_action = {"v0": [(1.0, 3.0, (2, 1))]}
+    pr_action = {"v0": [(d["segment"][0], d["segment"][1], d["score"], (d["verb"], d["noun"])) for d in preds["v0"]]}
+    stats = detection_map(gt_action, pr_action, tiou_thresholds=(0.5,))
+    assert stats["mAP@0.5"] == 1.0  # correct pair ranked first
