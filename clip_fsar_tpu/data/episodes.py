@@ -80,6 +80,15 @@ class EpisodeSampler:
         do not have this property)."""
         self.rng = np.random.default_rng((self.seed, step))
 
+    def reseed_for_slot(self, step: int, slot: int) -> None:
+        """Deterministic per-(step, slot) stream: episode `slot` of step k
+        depends only on (seed, k, slot).  Beyond reseed_for_step's
+        worker-order independence, this makes the batch SLICEABLE: a
+        multi-host process can produce exactly its local slots
+        [lo, hi) and get the same episodes the single-host run puts at
+        those rows (parallel/mesh.py::local_episode_range)."""
+        self.rng = np.random.default_rng((self.seed, step, slot))
+
     def sample_episode(self) -> Episode:
         retries = 5
         for attempt in range(retries):
@@ -156,8 +165,13 @@ class EpisodeLoader:
         prefetch: int = 2,
         num_steps: Optional[int] = None,
         start_step: int = 0,
+        episode_range: Optional[tuple] = None,
     ):
         self.episodes_per_step = episodes_per_step
+        # multi-host: this process produces only slots [lo, hi) of each
+        # step's global batch (identical content to the same rows of a
+        # single-host run, thanks to per-(step, slot) seeding)
+        self.episode_range = (0, episodes_per_step) if episode_range is None else (int(episode_range[0]), int(episode_range[1]))
         # steps are GLOBAL indices [start_step, start_step + num_steps):
         # a resumed run passes start_step so the (seed, step) episode
         # stream continues where it left off instead of replaying from 0
@@ -197,8 +211,11 @@ class EpisodeLoader:
                 step = self._claim()
                 if step is None:
                     return
-                sampler.reseed_for_step(step)
-                batch = stack_episodes([sampler.sample_episode() for _ in range(self.episodes_per_step)])
+                eps = []
+                for slot in range(*self.episode_range):
+                    sampler.reseed_for_slot(step, slot)
+                    eps.append(sampler.sample_episode())
+                batch = stack_episodes(eps)
                 with self._cond:
                     self._buffer[step] = batch
                     self._cond.notify_all()

@@ -17,8 +17,15 @@ from clip_fsar_tpu.data import datasets as _datasets  # noqa: F401
 
 
 def build_few_shot_loader(
-    cfg, split: str, num_steps: Optional[int] = None, episodes_per_step: Optional[int] = None, start_step: int = 0
+    cfg,
+    split: str,
+    num_steps: Optional[int] = None,
+    episodes_per_step: Optional[int] = None,
+    start_step: int = 0,
+    episode_range: Optional[tuple] = None,
 ) -> EpisodeLoader:
+    """episode_range: multi-host local slice [lo, hi) of each step's global
+    batch (parallel/mesh.py::local_episode_range); None = the full batch."""
     name = cfg.TRAIN.DATASET if split == "train" else cfg.TEST.get("DATASET", cfg.TRAIN.DATASET)
     dataset = DATASET_REGISTRY.get(name)(cfg, split)
     if episodes_per_step is None:
@@ -30,6 +37,7 @@ def build_few_shot_loader(
         prefetch=int(cfg.DATA_LOADER.get("PREFETCH", 2)),
         num_steps=num_steps,
         start_step=start_step,
+        episode_range=episode_range,
     )
 
 

@@ -57,10 +57,53 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh):
-    """device_put a pytree of [E, ...] arrays with E sharded over 'data'."""
+def local_episode_range(global_e: int, mesh: Mesh) -> tuple:
+    """The contiguous [lo, hi) slice of the global episode batch owned by
+    THIS process (keyed on jax.process_index()).  Single-process runs own
+    the whole batch.  This is what lets each host of a multi-host job feed
+    only its local episodes (replaces the reference's per-rank DataLoader
+    sharding, utils/launcher.py:55-57)."""
+    if jax.process_count() == 1:
+        return 0, int(global_e)
     sh = data_sharding(mesh)
-    return jax.device_put(batch, sh)
+    pi = jax.process_index()
+    rows = [
+        idx[0]
+        for dev, idx in sh.devices_indices_map((int(global_e),)).items()
+        if dev.process_index == pi
+    ]
+    if not rows:
+        return 0, 0  # this process holds no data-axis shard (model-only host)
+    lo = min(r.start or 0 for r in rows)
+    hi = max(int(global_e) if r.stop is None else r.stop for r in rows)
+    covered = sorted(set((r.start or 0, int(global_e) if r.stop is None else r.stop) for r in rows))
+    span = sum(b - a for a, b in covered)
+    if span != hi - lo:
+        raise ValueError(f"non-contiguous local episode shards {covered} for process {pi}")
+    return lo, hi
+
+
+def shard_batch(batch, mesh: Mesh, global_e: Optional[int] = None):
+    """Place a pytree of episode arrays on the mesh with the leading axis
+    sharded over 'data'.
+
+    Single-process: ``batch`` holds the full [E, ...] arrays -> device_put.
+    Multi-process: ``batch`` holds only THIS process's [hi-lo, ...] rows
+    (see local_episode_range) and ``global_e`` is the global batch size;
+    the global array is assembled with
+    jax.make_array_from_process_local_data without any cross-host copy.
+    """
+    sh = data_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sh)
+    if global_e is None:
+        raise ValueError("multi-process shard_batch needs global_e (the global episode count)")
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(sh, x, (int(global_e),) + x.shape[1:])
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(tree, mesh: Mesh):

@@ -117,6 +117,7 @@ def make_classification_train_step(model, tx, cfg):
             return loss, {"loss": loss, "top1": top1}
         if mix_enabled:
             rng, mix_rng = jax.random.split(rng)
+            minmax = aug.CUTMIX.get("MINMAX", None) if aug.CUTMIX.get("ENABLE", False) else None
             x, targets = mixup_batch(
                 mix_rng, x, labels, num_classes,
                 mixup_alpha=float(aug.MIXUP.get("ALPHA", 0.8) or 0.0),
@@ -124,6 +125,8 @@ def make_classification_train_step(model, tx, cfg):
                 prob=float(aug.MIXUP.get("PROB", 1.0)),
                 switch_prob=float(aug.MIXUP.get("SWITCH_PROB", 0.5)),
                 smoothing=smoothing,
+                mode=str(aug.MIXUP.get("MODE", "batch")),
+                cutmix_minmax=tuple(minmax) if minmax else None,
             )
         else:
             targets = smooth_one_hot(labels, num_classes, smoothing)

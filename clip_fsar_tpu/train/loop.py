@@ -25,7 +25,9 @@ from clip_fsar_tpu.models.builder import build_few_shot_model
 from clip_fsar_tpu.parallel.mesh import (
     build_mesh,
     check_batch_divisible,
+    local_episode_range,
     replicate,
+    replicated,
     round_to_data_mesh,
     shard_batch,
     shard_params,
@@ -62,7 +64,13 @@ def evaluate(
     pre-jitted ``eval_step`` when calling repeatedly (interleaved
     validation) — a fresh closure per call would recompile the tower."""
     if eval_step is None:
-        eval_step = jax.jit(make_eval_step(model.head, cfg, model.text_train, model.text_test))
+        # replicated outputs: every process of a multi-host job can fetch
+        # the full per-episode metric arrays (GSPMD all-gathers over ICI);
+        # free on a single-process mesh
+        eval_step = jax.jit(
+            make_eval_step(model.head, cfg, model.text_train, model.text_test),
+            out_shardings=replicated(mesh),
+        )
     e = episodes_per_step or int(cfg.TPU.get("EPISODES_PER_STEP", 1))
     e = round_to_data_mesh(e, mesh)
     check_batch_divisible(e, mesh)
@@ -76,9 +84,12 @@ def evaluate(
     loss_sum = 0.0
     episodes_left = num_tasks
     per_class = collections.defaultdict(lambda: [0, 0])  # real label -> [correct, total]
-    with build_few_shot_loader(cfg, split, num_steps=num_steps, episodes_per_step=e) as loader:
+    ep_range = local_episode_range(e, mesh)
+    with build_few_shot_loader(
+        cfg, split, num_steps=num_steps, episodes_per_step=e, episode_range=ep_range
+    ) as loader:
         for batch in loader:
-            out = jax.device_get(eval_step(variables, shard_batch(batch, mesh)))
+            out = jax.device_get(eval_step(variables, shard_batch(batch, mesh, global_e=e)))
             take = min(e, episodes_left)
             episodes_left -= take
             top1 += out["top1_correct"][:take].sum()
@@ -166,21 +177,28 @@ def train_few_shot(cfg) -> Dict[str, float]:
     # jit the eval step ONCE: interleaved validation (and its EMA pass)
     # would otherwise recompile the tower on every VAL_FRE_ITER boundary
     interleaved_eval_step = (
-        jax.jit(make_eval_step(model.head, cfg, model.text_train, model.text_test)) if val_every else None
+        jax.jit(
+            make_eval_step(model.head, cfg, model.text_train, model.text_test),
+            out_shardings=replicated(mesh),
+        )
+        if val_every
+        else None
     )
 
     remaining = max(num_train_tasks - start_iter, 0)
     # start_step=start_iter: a resumed run CONTINUES the (seed, step)
-    # episode stream instead of replaying episodes 0..remaining-1
+    # episode stream instead of replaying episodes 0..remaining-1;
+    # episode_range: each host decodes only its local slice of the batch
     with build_few_shot_loader(
-        cfg, "train", num_steps=remaining, episodes_per_step=e, start_step=start_iter
+        cfg, "train", num_steps=remaining, episodes_per_step=e, start_step=start_iter,
+        episode_range=local_episode_range(e, mesh),
     ) as loader:
         cur_iter = start_iter
         for batch in loader:
             t0 = time.perf_counter()
             lr = get_lr_at_epoch(cfg, epoch_for_iter(cfg, cur_iter))
             dropout_rng, step_rng = jax.random.split(dropout_rng)
-            state, metrics = train_step(state, shard_batch(batch, mesh), jnp.float32(lr), step_rng)
+            state, metrics = train_step(state, shard_batch(batch, mesh, global_e=e), jnp.float32(lr), step_rng)
             cur_iter += 1
 
             if cur_iter % int(cfg.get("LOG_PERIOD", 10)) == 0 or cur_iter == num_train_tasks:

@@ -310,19 +310,33 @@ class EpicKitchenMeter:
         order = np.argsort(-preds, axis=1)[:, :k]
         return (order == labels[:, None]).any(axis=1)
 
+    @staticmethod
+    def _maybe_softmax(x: np.ndarray) -> np.ndarray:
+        # the reference softmaxes video-level scores before forming the
+        # joint product unless they already sum to 1
+        # (metrics.joint_topks_correct, utils/metrics.py:54-59)
+        if np.isclose(x[0].sum(), 1.0):
+            return x
+        e = np.exp(x - x.max(axis=1, keepdims=True))
+        return e / e.sum(axis=1, keepdims=True)
+
     def finalize_metrics(self, ks=(1, 5)) -> Dict[str, float]:
         if not np.all(self.clip_count == self.num_clips):
             logger.warning("%d videos have missing clips", int(np.sum(self.clip_count != self.num_clips)))
         stats: Dict[str, float] = {"_type": "test_final"}
         flat_action = self.action_preds.reshape(self.action_preds.shape[0], -1)
         action_labels = self.verb_labels * self.cn + self.noun_labels
+        # "joint": product of the softmaxed ENSEMBLED verb/noun scores —
+        # ensemble-then-fuse, vs "action" which fuses per view then
+        # ensembles (reference joint_topks_correct, utils/metrics.py:12-96)
+        joint = (self._maybe_softmax(self.verb_preds)[:, :, None]
+                 * self._maybe_softmax(self.noun_preds)[:, None, :]).reshape(len(self.verb_preds), -1)
         for k in ks:
             hv = self._topk_hit(self.verb_preds, self.verb_labels, k)
             hn = self._topk_hit(self.noun_preds, self.noun_labels, k)
             stats[f"top_{k}_acc_verb"] = float(hv.mean() * 100.0)
             stats[f"top_{k}_acc_noun"] = float(hn.mean() * 100.0)
-            # joint: verb AND noun each within their own top-k
-            stats[f"top_{k}_acc_joint"] = float((hv & hn).mean() * 100.0)
+            stats[f"top_{k}_acc_joint"] = float(self._topk_hit(joint, action_labels, k).mean() * 100.0)
             # action: top-k over the ensembled verb x noun outer product
             stats[f"top_{k}_acc_action"] = float(self._topk_hit(flat_action, action_labels, k).mean() * 100.0)
         log_json_stats(stats, logger)

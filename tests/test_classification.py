@@ -203,3 +203,72 @@ def test_multiseg_val_contiguity(cls_cfg):
     vids = [i // loader.ds._num_clips for i in ids]
     # video ids are non-decreasing -> views grouped per video
     assert vids == sorted(vids)
+
+
+def test_mixup_elem_and_pair_modes():
+    """'elem': independent lambda per element; 'pair': element i and B-1-i
+    share one lambda (reference _mix_elem/_mix_pair, mixup.py:175-210).
+    Lambdas are recovered from the soft targets (smoothing=0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_fsar_tpu.data.mixup import mixup_batch
+
+    b = 6
+    videos = jnp.asarray(np.arange(b, dtype=np.float32)[:, None, None, None, None] * np.ones((b, 1, 4, 4, 1), np.float32))
+    labels = jnp.arange(b)
+
+    mixed, targets = mixup_batch(
+        jax.random.PRNGKey(3), videos, labels, b, mixup_alpha=0.8, cutmix_alpha=0.0,
+        prob=1.0, smoothing=0.0, mode="elem",
+    )
+    t = np.asarray(targets)
+    lam = t[np.arange(b), np.arange(b)]  # own-label weight
+    # mixed pixels must equal lam*x_i + (1-lam)*x_{B-1-i}
+    want = lam[:, None, None, None, None] * np.asarray(videos) + (1 - lam)[:, None, None, None, None] * np.asarray(videos)[::-1]
+    np.testing.assert_allclose(np.asarray(mixed), want, atol=1e-5)
+    assert len(np.unique(np.round(lam, 6))) >= 3  # per-element lambdas differ
+
+    _, tp = mixup_batch(
+        jax.random.PRNGKey(3), videos, labels, b, mixup_alpha=0.8, cutmix_alpha=0.0,
+        prob=1.0, smoothing=0.0, mode="pair",
+    )
+    tp = np.asarray(tp)
+    lam_p = tp[np.arange(b), np.arange(b)]
+    np.testing.assert_allclose(lam_p, lam_p[::-1], atol=1e-6)  # partners share lambda
+
+
+def test_cutmix_minmax_distribution_matches_reference():
+    """cutmix_minmax: realized box-area ratios must follow the reference's
+    rand_bbox_minmax distribution (mixup.py:64-100) — independent uniform
+    cut sizes in [min, max] per axis — checked on summary statistics."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_fsar_tpu.data.mixup import mixup_batch
+
+    b, h = 512, 32
+    minmax = (0.2, 0.8)
+    videos = jnp.zeros((b, 1, h, h, 1))
+    labels = jnp.arange(b) % 7
+    _, targets = mixup_batch(
+        jax.random.PRNGKey(5), videos, labels, 7, mixup_alpha=0.0, cutmix_alpha=1.0,
+        prob=1.0, smoothing=0.0, mode="elem", cutmix_minmax=minmax,
+    )
+    t = np.asarray(targets)
+    lam = t[np.arange(b), np.asarray(labels)]
+    # label collisions (i and B-1-i same class) make own-weight 1.0; drop them
+    keep = np.asarray(labels) != np.asarray(labels)[::-1]
+    area = 1.0 - lam[keep]
+
+    # the reference's rand_bbox_minmax distribution (mixup.py:80-87):
+    # cut_h, cut_w ~ independent randint(h*min, h*max)
+    np.random.seed(11)
+    ref_cut = np.random.randint(int(h * minmax[0]), int(h * minmax[1]), size=(4096, 2))
+    ref_area = ref_cut[:, 0] * ref_cut[:, 1] / float(h * h)
+
+    lo = (int(h * minmax[0]) ** 2) / (h * h)
+    hi = ((int(h * minmax[1])) ** 2) / (h * h)
+    assert area.min() >= lo - 1e-6 and area.max() <= hi + 1e-6
+    assert abs(area.mean() - ref_area.mean()) < 0.03
+    assert abs(area.std() - ref_area.std()) < 0.03

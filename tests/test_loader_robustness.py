@@ -17,7 +17,7 @@ class _OkSampler:
     def __init__(self, wid):
         self.step = None
 
-    def reseed_for_step(self, step):
+    def reseed_for_slot(self, step, slot):
         self.step = step
 
     def sample_episode(self):

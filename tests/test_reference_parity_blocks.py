@@ -884,3 +884,73 @@ def test_tal_three_stream_eval_and_action_expansion():
     pr_action = {"v0": [(d["segment"][0], d["segment"][1], d["score"], (d["verb"], d["noun"])) for d in preds["v0"]]}
     stats = detection_map(gt_action, pr_action, tiou_thresholds=(0.5,))
     assert stats["mAP@0.5"] == 1.0  # correct pair ranked first
+
+
+def test_epic_kitchen_meter_matches_reference():
+    """EpicKitchenMeter transplant parity (reference utils/meters.py:178-468):
+    identical per-clip verb/noun score streams -> identical ensembled
+    video tables (sum and max) and identical final top-k numbers via the
+    reference's own joint_topks_correct."""
+    import torch
+    import utils.meters as rmt
+    import utils.metrics as rm
+
+    from reference_oracle import NS
+
+    from clip_fsar_tpu.utils.meters import EpicKitchenMeter
+
+    num_videos, num_clips, cv, cn = 5, 3, 6, 7
+    rng = np.random.RandomState(21)
+    lv = rng.randint(0, cv, size=num_videos).astype(np.int64)
+    ln = rng.randint(0, cn, size=num_videos).astype(np.int64)
+    pv = rng.rand(num_videos * num_clips, cv).astype(np.float32)
+    pn = rng.rand(num_videos * num_clips, cn).astype(np.float32)
+    clip_ids = rng.permutation(num_videos * num_clips)
+
+    for method in ("sum", "max"):
+        ref_cfg = NS(LOG_PERIOD=10, DATA=NS(MULTI_LABEL=True))
+        ref = rmt.EpicKitchenMeter(ref_cfg, num_videos, num_clips, (cv, cn), overall_iters=1, ensemble_method=method)
+        ours = EpicKitchenMeter(num_videos=num_videos, num_clips=num_clips, num_cls=(cv, cn), ensemble_method=method)
+
+        vids = clip_ids // num_clips
+        ref.update_stats(_t(pv), _t(pn), _t(lv[vids]), _t(ln[vids]), _t(clip_ids.astype(np.int64)))
+        ours.update_stats(pv, pn, lv[vids], ln[vids], clip_ids)
+
+        want = ref.get_video_preds()
+        got = ours.get_video_preds()
+        np.testing.assert_allclose(got["verb_class"], want["verb_class"].numpy(), rtol=1e-5)
+        np.testing.assert_allclose(got["noun_class"], want["noun_class"].numpy(), rtol=1e-5)
+        np.testing.assert_allclose(got["action_class_ind_pred"], want["action_class_ind_pred"].numpy(), rtol=1e-5)
+
+        # final metrics: the reference's joint_topks_correct cannot run
+        # under torch>=2 (non-contiguous .view, see
+        # test_topk_metrics_match_reference) — replicate its math
+        # (metrics.py:45-97) in numpy on the REFERENCE meter's own
+        # ensembled tables and labels
+        ks = (1, 2)
+
+        def hits(p, l, k):
+            order = np.argsort(-p, axis=1)[:, :k]
+            return (order == l[:, None]).any(1)
+
+        def softmax_np(x):
+            e = np.exp(x - x.max(axis=1, keepdims=True))
+            return e / e.sum(axis=1, keepdims=True)
+
+        rv = want["verb_class"].numpy()
+        rn = want["noun_class"].numpy()
+        ra = want["action_class_ind_pred"].numpy()
+        rlv = ref.video_labels["verb_class"].numpy().astype(np.int64)
+        rln = ref.video_labels["noun_class"].numpy().astype(np.int64)
+        rla = ref.video_labels["action_class_ind_pred"].numpy().astype(np.int64)
+        joint = (softmax_np(rv)[:, :, None] * softmax_np(rn)[:, None, :]).reshape(num_videos, -1)
+        jl = rlv * cn + rln
+        want_acc = {}
+        for i, k in enumerate(ks):
+            want_acc[f"top_{k}_acc_verb"] = hits(rv, rlv, k).mean() * 100.0
+            want_acc[f"top_{k}_acc_noun"] = hits(rn, rln, k).mean() * 100.0
+            want_acc[f"top_{k}_acc_action"] = hits(ra, rla, k).mean() * 100.0
+            want_acc[f"top_{k}_acc_joint"] = hits(joint, jl, k).mean() * 100.0
+        stats = ours.finalize_metrics(ks=ks)
+        for key, val in want_acc.items():
+            assert abs(stats[key] - val) < 1e-5, (method, key, stats[key], val)
