@@ -11,10 +11,12 @@ the compute path, not the host pipeline (bench the loader separately with
 --loader).
 
 vs_baseline: the reference repo publishes no throughput (BASELINE.md);
-the divisor is ASSUMED_BASELINE_EPS_PER_SEC — an estimate of the PyTorch
-reference on one A100 (one episode per step, per-frame unbatched CLIP
-forward + python OTAM loop).  Replace with a measured number when one
-exists.
+the divisor is BASELINE_EPS_PER_SEC = 2.0, the midpoint of the analytic
+derivation in BASELINE.md §"A100 reference throughput": eager-fp32
+PyTorch (no AMP/compile, few_shot.py:884) on A100 TF32 at 30-40 % of
+156 TFLOP/s over 25.3 TFLOP/episode -> 1.8-2.5 eps/s.  Replace with a
+measured number when an A100 run exists.  The assumption-free number is
+mfu_useful (fraction of the 7.8 eps/s v5e roofline).
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-ASSUMED_BASELINE_EPS_PER_SEC = 2.0  # estimated A100 reference throughput
+BASELINE_EPS_PER_SEC = 2.0  # analytic A100 eager-fp32 reference (BASELINE.md derivation)
 
 
 def main() -> int:
@@ -48,6 +50,7 @@ def main() -> int:
     p.add_argument("--scan-layers", action="store_true", help="lax.scan over transformer depth")
     p.add_argument("--profile", default="", help="write a jax.profiler trace to this dir")
     p.add_argument("--loader", action="store_true", help="benchmark the host episode pipeline instead of the device step")
+    p.add_argument("--real", action="store_true", help="with --loader: real mp4 decode (+ frame cache) instead of the synthetic decoder")
     args = p.parse_args()
 
     if args.loader:
@@ -224,7 +227,7 @@ def main() -> int:
         "metric": metric,
         "value": round(eps_per_sec_per_chip, 4),
         "unit": "episodes/s/chip",
-        "vs_baseline": round(eps_per_sec_per_chip / ASSUMED_BASELINE_EPS_PER_SEC, 4),
+        "vs_baseline": round(eps_per_sec_per_chip / BASELINE_EPS_PER_SEC, 4),
         "detail": {
             "episodes_per_step": episodes,
             "devices": n_dev,
@@ -235,19 +238,47 @@ def main() -> int:
             "step_gflops": step_gflops,
             "mfu": mfu,
             "mfu_useful": mfu_useful,
-            "baseline_note": f"assumed A100 reference {ASSUMED_BASELINE_EPS_PER_SEC} eps/s (no published number)",
+            "baseline_note": f"analytic A100 eager-fp32 reference {BASELINE_EPS_PER_SEC} eps/s (BASELINE.md derivation: TF32 156 TFLOP/s x 30-40% / 25.3 TFLOP/episode)",
         },
     }
     print(json.dumps(result))
     return 0
 
 
+def _make_real_videos(root: str, num_videos: int = 40, frames: int = 72, size=(240, 180)) -> None:
+    """Write small real mp4s + HMDB-style split lists for the --real bench."""
+    import cv2
+    import numpy as np
+
+    vdir = os.path.join(root, "videos")
+    os.makedirs(vdir, exist_ok=True)
+    lines = []
+    rng = np.random.RandomState(0)
+    for i in range(num_videos):
+        cls = i % 8
+        path = os.path.join(vdir, f"c{cls}_v{i:03d}.avi")
+        if not os.path.exists(path):
+            w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 24.0, size)
+            assert w.isOpened(), f"VideoWriter failed for {path}"
+            base = rng.randint(0, 200, (size[1], size[0], 3)).astype(np.uint8)
+            for t in range(frames):
+                w.write(np.roll(base, t * 3, axis=1))
+            w.release()
+        lines.append(f"train{cls}//videos/c{cls}_v{i:03d}.avi")
+    for split in ("train", "test"):
+        with open(os.path.join(root, f"{split}_few_shot.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+
 def bench_loader(args) -> int:
-    """Host input-pipeline throughput: episodes/s through the synthetic
-    decoder + transform + batch path (compare against the device step rate
-    from the default bench to see which side bounds training)."""
+    """Host input-pipeline throughput: episodes/s through decode +
+    transform + batch (compare against the device step rate from the
+    default bench to see which side bounds training).  Default: synthetic
+    decoder (pure transform cost).  --real: real mp4 decode via OpenCV,
+    measured cold (opencv) and warm (cached_opencv JPEG frame cache)."""
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import json as _json
+    import tempfile
     import time as _time
 
     from __graft_entry__ import _cfg
@@ -256,30 +287,46 @@ def bench_loader(args) -> int:
     if args.quick:
         args.backbone, args.res, args.frames = "ViT-Tiny-Test", 64, 4
     episodes = args.episodes or 4
-    cfg = _cfg(args.backbone, args.frames, args.res, episodes)
     steps = max(args.steps, 5)
-    with build_few_shot_loader(cfg, "train", num_steps=steps + 2, episodes_per_step=episodes) as loader:
-        it = iter(loader)
-        next(it)  # warm the workers
-        t0 = _time.perf_counter()
-        for _ in range(steps):
-            next(it)
-        dt = _time.perf_counter() - t0
-    eps_per_sec = episodes * steps / dt
+
+    def rate(cfg, split="train", warm_steps=1) -> float:
+        with build_few_shot_loader(cfg, split, num_steps=steps + warm_steps, episodes_per_step=episodes) as loader:
+            it = iter(loader)
+            for _ in range(warm_steps):
+                next(it)  # warm workers (and the frame cache's first decode)
+            t0 = _time.perf_counter()
+            for _ in range(steps):
+                next(it)
+            return episodes * steps / (_time.perf_counter() - t0)
+
+    detail = {"episodes_per_step": episodes, "steps": steps, "frames": args.frames, "res": args.res}
+    if args.real:
+        root = os.path.join(tempfile.gettempdir(), "clip_fsar_loader_bench")
+        _make_real_videos(root)
+        cfg = _cfg(args.backbone, args.frames, args.res, episodes)
+        cfg.DATA.DATA_ROOT_DIR = root
+        cfg.DATA.ANNO_DIR = root
+        cfg.DATA.DECODER = "opencv"
+        cold = rate(cfg)
+        cfg.DATA.DECODER = "cached_opencv"
+        cfg.DATA.FRAME_CACHE_DIR = os.path.join(root, "cache")
+        rate(cfg)  # first pass builds the cache
+        warmc = rate(cfg)
+        detail.update({"decoder": "opencv->cached_opencv", "mp4_decode_eps_per_sec": round(cold, 3),
+                       "frame_cache_eps_per_sec": round(warmc, 3)})
+        eps_per_sec, metric = warmc, "clipfsar_loader_real_episodes_per_sec"
+    else:
+        cfg = _cfg(args.backbone, args.frames, args.res, episodes)
+        eps_per_sec, metric = rate(cfg), "clipfsar_loader_episodes_per_sec"
+        detail["decoder"] = "synthetic"
     print(
         _json.dumps(
             {
-                "metric": "clipfsar_loader_episodes_per_sec",
+                "metric": metric,
                 "value": round(eps_per_sec, 4),
                 "unit": "episodes/s",
-                "vs_baseline": round(eps_per_sec / ASSUMED_BASELINE_EPS_PER_SEC, 4),
-                "detail": {
-                    "episodes_per_step": episodes,
-                    "steps": steps,
-                    "frames": args.frames,
-                    "res": args.res,
-                    "decoder": "synthetic",
-                },
+                "vs_baseline": round(eps_per_sec / BASELINE_EPS_PER_SEC, 4),
+                "detail": detail,
             }
         )
     )

@@ -41,7 +41,7 @@ class ClassificationDataset:
         self.cfg = cfg
         self.split = split
         self.data_root = cfg.DATA.DATA_ROOT_DIR
-        self.decoder = build_decoder(cfg.DATA.get("DECODER", "auto"), self.data_root)
+        self.decoder = build_decoder(cfg.DATA.get("DECODER", "auto"), self.data_root, cfg_data=cfg.DATA)
         if split in ("test",):
             self._num_clips = int(cfg.TEST.get("NUM_ENSEMBLE_VIEWS", 1)) * int(cfg.TEST.get("NUM_SPATIAL_CROPS", 1))
         else:

@@ -36,7 +36,7 @@ class FewShotVideoDataset:
         ssv2_style = style == "Ssv2_few_shot"
         self.fs_split = load_split_file(os.path.join(anno_dir, list_name), "train" if split == "train" else "test", ssv2_style)
         self.data_root = cfg.DATA.DATA_ROOT_DIR
-        self.decoder = build_decoder(cfg.DATA.get("DECODER", "auto"), self.data_root)
+        self.decoder = build_decoder(cfg.DATA.get("DECODER", "auto"), self.data_root, cfg_data=cfg.DATA)
         self._ssv2_style = ssv2_style
 
     def path_map(self, rel: str) -> str:

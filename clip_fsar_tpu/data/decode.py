@@ -131,11 +131,101 @@ class OpenCVDecoder:
         return np.stack([got.get(int(i), last) for i in indices])
 
 
-def build_decoder(name: str, data_root: Optional[str] = None):
-    """'auto' picks opencv when the data root exists, synthetic otherwise."""
+@DECODER_REGISTRY.register(name="cached_opencv")
+class CachedVideoDecoder:
+    """JPEG frame cache over OpenCVDecoder for the 10k-episode eval
+    protocol (reference test_net_few_shot.py:57): the same test videos are
+    decoded thousands of times across episodes, and mp4 seek+decode is
+    what bounds the host pipeline on small hosts (PERFORMANCE.md "Host
+    pipeline").
+
+    First touch of a video decodes up to ``max_frames`` uniformly-spaced
+    frames ONCE, JPEG-encodes them (~30 KB/frame vs ~250 KB raw) into one
+    .npz next to a metadata record; later reads decode only the requested
+    JPEGs (~1 ms/frame, no container parsing).  Requested indices are
+    snapped to the nearest cached frame — with the uniform-segment sampler
+    (SAMPLING_RATE>40 path) drawing 8 of >=64 positions, the quantization
+    is at most half the cache stride.  Opt in with ``DATA.DECODER:
+    cached_opencv``; tune ``DATA.FRAME_CACHE_DIR / FRAME_CACHE_FRAMES /
+    FRAME_CACHE_JPEG_QUALITY``.
+    """
+
+    def __init__(self, cache_dir: Optional[str] = None, max_frames: int = 64, jpeg_quality: int = 90):
+        import tempfile
+
+        self.inner = OpenCVDecoder()
+        self.cache_dir = cache_dir or os.path.join(tempfile.gettempdir(), "clip_fsar_frame_cache")
+        self.max_frames = int(max_frames)
+        self.jpeg_quality = int(jpeg_quality)
+        os.makedirs(self.cache_dir, exist_ok=True)
+
+    def _cache_path(self, path: str) -> str:
+        key = hashlib.md5(path.encode()).hexdigest()[:16]
+        return os.path.join(self.cache_dir, f"{key}.npz")
+
+    def _ensure(self, path: str):
+        import cv2
+
+        cpath = self._cache_path(path)
+        if os.path.exists(cpath):
+            return np.load(cpath, allow_pickle=False)
+        n = self.inner.length(path)
+        fps = self.inner.fps(path)
+        keep = np.unique(np.linspace(0, n - 1, min(self.max_frames, n)).round().astype(np.int64))
+        frames = self.inner.read(path, keep)
+        blob = {"orig_idx": keep, "length": np.int64(n), "fps": np.float64(fps)}
+        flag = [int(cv2.IMWRITE_JPEG_QUALITY), self.jpeg_quality]
+        for i, f in enumerate(frames):
+            ok, enc = cv2.imencode(".jpg", cv2.cvtColor(f, cv2.COLOR_RGB2BGR), flag)
+            if not ok:
+                raise IOError(f"JPEG encode failed for {path} frame {keep[i]}")
+            blob[f"f{i}"] = np.frombuffer(enc.tobytes(), np.uint8)
+        # unique tmp per writer (loader THREADS share a pid) + atomic
+        # replace: concurrent workers race benignly, last write wins
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=self.cache_dir, suffix=".npz.tmp")
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(fh, **blob)
+        os.replace(tmp, cpath)
+        return np.load(cpath, allow_pickle=False)
+
+    def length(self, path: str) -> int:
+        return int(self._ensure(path)["length"])
+
+    def fps(self, path: str) -> float:
+        return float(self._ensure(path)["fps"])
+
+    def read(self, path: str, indices: Sequence[int]) -> np.ndarray:
+        import cv2
+
+        z = self._ensure(path)
+        orig = z["orig_idx"]
+        # snap each requested original index to the nearest cached frame
+        pos = np.searchsorted(orig, np.asarray(indices, np.int64))
+        pos = np.clip(pos, 0, len(orig) - 1)
+        left = np.clip(pos - 1, 0, len(orig) - 1)
+        take = np.where(
+            np.abs(orig[left] - np.asarray(indices)) <= np.abs(orig[pos] - np.asarray(indices)), left, pos
+        )
+        decoded = {}
+        for i in np.unique(take):
+            decoded[int(i)] = cv2.cvtColor(cv2.imdecode(z[f"f{int(i)}"], cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+        return np.stack([decoded[int(i)] for i in take])
+
+
+def build_decoder(name: str, data_root: Optional[str] = None, cfg_data=None):
+    """'auto' picks opencv when the data root exists, synthetic otherwise.
+    cfg_data (the DATA config node) parameterizes the frame cache."""
     if name == "auto":
         if data_root and os.path.isdir(data_root):
             name = "opencv"
         else:
             name = "synthetic"
+    if name == "cached_opencv" and cfg_data is not None:
+        return CachedVideoDecoder(
+            cache_dir=cfg_data.get("FRAME_CACHE_DIR", None) or None,
+            max_frames=int(cfg_data.get("FRAME_CACHE_FRAMES", 64)),
+            jpeg_quality=int(cfg_data.get("FRAME_CACHE_JPEG_QUALITY", 90)),
+        )
     return DECODER_REGISTRY.get(name)()

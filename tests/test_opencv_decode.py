@@ -69,3 +69,32 @@ def test_sampler_plus_decoder_end_to_end(tmp_path):
     ids = [int(round(f[..., 0].mean() / 10.0)) for f in frames]
     assert ids == sorted(ids)
     assert all(abs(a - b) <= 1 for a, b in zip(ids, idx))
+
+
+def test_cached_decoder_matches_opencv(tmp_path):
+    """CachedVideoDecoder: same frames as OpenCVDecoder when every frame is
+    cached; nearest-frame snapping when subsampled; cache survives reuse."""
+    from clip_fsar_tpu.data.decode import CachedVideoDecoder
+
+    p = tmp_path / "clip.mp4"
+    _write_video(p, n_frames=24, fps=12.0)
+
+    full = CachedVideoDecoder(cache_dir=str(tmp_path / "cache_full"), max_frames=24)
+    assert full.length(str(p)) == 24
+    assert full.fps(str(p)) == pytest.approx(12.0)
+    want = OpenCVDecoder().read(str(p), [0, 5, 11, 23])
+    got = full.read(str(p), [0, 5, 11, 23])
+    # JPEG quantization: red-plane step of 10 survives within a few counts
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 6
+
+    sub = CachedVideoDecoder(cache_dir=str(tmp_path / "cache_sub"), max_frames=8)
+    frames = sub.read(str(p), [0, 23])
+    assert frames.shape[0] == 2
+    # first/last original frames are always in the uniform cache grid
+    assert abs(int(frames[0][..., 0].mean()) - 0) <= 6
+    assert abs(int(frames[1][..., 0].mean()) - 230) <= 8
+    # second read hits the cache (no mp4 needed anymore)
+    p.unlink()
+    again = sub.read(str(p), [0, 23])
+    np.testing.assert_array_equal(frames, again)
