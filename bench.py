@@ -45,6 +45,7 @@ def main() -> int:
     p.add_argument("--no-remat", action="store_true")
     p.add_argument("--remat-policy", default="", choices=["", "nothing", "dots"])
     p.add_argument("--attention", default="", choices=["", "xla", "pallas"])
+    p.add_argument("--layout", default="", choices=["", "split", "unsplit", "fused"], help="attention head layout")
     p.add_argument("--dtype", default="", choices=["", "bfloat16", "float32"])
     p.add_argument("--softmax-dtype", default="", choices=["", "bfloat16", "float32"])
     p.add_argument("--scan-layers", action="store_true", help="lax.scan over transformer depth")
@@ -97,6 +98,8 @@ def main() -> int:
         cfg.TPU.REMAT_POLICY = args.remat_policy
     if args.attention:
         cfg.TPU.PALLAS_ATTENTION = args.attention == "pallas"
+    if args.layout:
+        cfg.TPU.ATTENTION_LAYOUT = args.layout
     if args.dtype:
         cfg.TPU.COMPUTE_DTYPE = args.dtype
     if args.softmax_dtype:

@@ -46,9 +46,20 @@ def _attention_backend_from_cfg(cfg) -> str:
         return "xla"
     if cfg.TPU.get("PALLAS_ATTENTION", False):
         return "pallas"
+    layout = str(cfg.TPU.get("ATTENTION_LAYOUT", "auto"))
+    if layout == "auto":
+        layout = "fused" if jax.default_backend() != "cpu" else "split"
+    if layout == "fused":
+        # whole-sequence Pallas kernel on the unsplit layout (non-causal
+        # self-attention; the causal text tower falls back to XLA inside
+        # MultiheadAttention)
+        return "fused"
+    backend = "xla"
     if str(cfg.TPU.get("SOFTMAX_DTYPE", "float32")) == "bfloat16":
-        return "xla:bf16"
-    return "xla"
+        backend = "xla:bf16"
+    if layout == "unsplit":
+        backend += ":unsplit"
+    return backend
 
 
 def _resolve_tower_execution(cfg, arch) -> tuple:
@@ -90,20 +101,44 @@ def _clip_checkpoint_path(cfg) -> Optional[str]:
     return None
 
 
+def _adapt_vision_resolution(cfg, arch):
+    """The tower's spatial resolution follows the configured crop size.
+
+    The reference CLIP towers are fixed at their native resolution (224 /
+    336); this framework additionally builds them at any crop that tiles
+    the patch (ViT) / stride-32 stem (RN) so small-resolution runs (CPU
+    dryruns, ablations) use the REAL architecture.  All shipped CLIP-FSAR
+    configs crop at the native resolution, where this is a no-op."""
+    import dataclasses
+
+    crop = int(cfg.DATA.get("TRAIN_CROP_SIZE", 0) or cfg.DATA.get("TEST_CROP_SIZE", 0) or 0) if "DATA" in cfg else 0
+    if not crop or crop == arch.image_resolution:
+        return arch
+    tile = arch.vision_patch_size if arch.vision_patch_size else 32
+    if crop % tile:
+        logger.warning("crop %d does not tile the %d-px vision stem; keeping native %d", crop, tile, arch.image_resolution)
+        return arch
+    logger.info("CLIP vision tower at %dpx (native %dpx)", crop, arch.image_resolution)
+    return dataclasses.replace(arch, image_resolution=crop)
+
+
 def load_or_init_clip(cfg, rng) -> tuple:
     """Returns (arch, clip_variables).  Loads OpenAI weights when present,
     otherwise random-initializes (tests / synthetic benchmarking)."""
     backbone_name = cfg.VIDEO.HEAD.BACKBONE_NAME
     ckpt = _clip_checkpoint_path(cfg)
     if ckpt:
-        from clip_fsar_tpu.models.clip.convert import load_openai_checkpoint
+        from clip_fsar_tpu.models.clip.convert import load_openai_checkpoint, resize_vision_pos_embed
 
         logger.info("Loading CLIP weights from %s", ckpt)
         arch, variables = load_openai_checkpoint(ckpt)
-        return arch, variables
+        resized = _adapt_vision_resolution(cfg, arch)
+        if resized.image_resolution != arch.image_resolution:
+            variables = resize_vision_pos_embed(variables, resized)
+        return resized, variables
     if backbone_name not in ARCHS:
         raise KeyError(f"Unknown backbone {backbone_name!r}; known: {sorted(ARCHS)}")
-    arch = ARCHS[backbone_name]
+    arch = _adapt_vision_resolution(cfg, ARCHS[backbone_name])
     logger.info("No CLIP checkpoint found for %s — random init", backbone_name)
     model = CLIP(arch=arch)
     imgs = jnp.zeros((1, arch.image_resolution, arch.image_resolution, 3), jnp.float32)

@@ -222,3 +222,33 @@ def load_openai_checkpoint(path: str) -> Tuple[CLIPArch, Dict[str, Any]]:
         sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
     sd = {k: v for k, v in sd.items() if k not in ("input_resolution", "context_length", "vocab_size")}
     return convert_openai_clip(sd)
+
+
+def resize_vision_pos_embed(variables: Dict[str, Any], arch: CLIPArch) -> Dict[str, Any]:
+    """Bilinearly resample the vision positional embedding to ``arch``'s
+    (non-native) resolution.
+
+    The CLS row is kept; the grid rows are reshaped to [g, g, width],
+    resized with jax.image (bilinear, the standard ViT fine-tune recipe —
+    the reference's analogous surgery for its video transformers is
+    checkpoint_preprocess, utils/checkpoint.py:184-274), and flattened
+    back.  Works for both tower families: ViT stores the table at
+    visual/positional_embedding, ModifiedResNet under visual/attnpool."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    stride = arch.vision_patch_size if arch.vision_patch_size else 32
+    g_new = arch.image_resolution // stride
+    variables = copy.deepcopy(variables)
+    vis = variables["params"]["visual"]
+    holder, key = (vis, "positional_embedding") if "positional_embedding" in vis else (vis["attnpool"], "positional_embedding")
+    pos = jnp.asarray(holder[key])
+    g_old = round((pos.shape[0] - 1) ** 0.5)
+    if g_old == g_new:
+        return variables
+    cls_row, grid = pos[:1], pos[1:].reshape(g_old, g_old, -1)
+    grid = jax.image.resize(grid, (g_new, g_new, grid.shape[-1]), method="bilinear")
+    holder[key] = jnp.concatenate([cls_row, grid.reshape(g_new * g_new, -1)], axis=0)
+    return variables

@@ -93,15 +93,44 @@ ARCHS = {
 # --------------------------------------------------------------------------
 
 
+class _LNParams(nn.Module):
+    """Owns LayerNorm's {scale, bias} under the same child-scope name
+    flax's nn.LayerNorm would have used."""
+
+    @nn.compact
+    def __call__(self, n: int):
+        g = self.param("scale", nn.initializers.ones, (n,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (n,), jnp.float32)
+        return g, b
+
+
 class LayerNorm(nn.Module):
-    """LayerNorm computed in fp32 regardless of activation dtype."""
+    """LayerNorm with fp32 statistics regardless of activation dtype.
+
+    Matches the reference's fp16-safe LayerNorm (few_shot.py:605-611) but
+    written so no fp32 copy of the activation is ever materialized: the
+    bf16->fp32 converts feed straight into the mean/mean-of-squares
+    reductions (fp32 accumulation) and one elementwise normalize chain,
+    each a single XLA fusion.  flax's nn.LayerNorm(dtype=fp32) on a cast
+    input left ~27 ms/step of standalone convert_element_type copies in
+    the ViT-B/16 train profile.  Same math as nn.LayerNorm's default
+    use_fast_variance=True (E[x^2] - E[x]^2, clamped at 0)."""
 
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         orig = x.dtype
-        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32, param_dtype=jnp.float32)(x.astype(jnp.float32))
+        n = x.shape[-1]
+        # params live under a "LayerNorm_0" child scope — the exact tree
+        # path flax's nn.LayerNorm used here before, so checkpoints and
+        # the OpenAI converter are untouched
+        g, b = _LNParams(name="LayerNorm_0")(n)
+        mu = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+        m2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        var = jnp.maximum(m2 - jnp.square(mu), 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        y = (x.astype(jnp.float32) - mu) * inv * g + b
         return y.astype(orig)
 
 
@@ -123,6 +152,36 @@ class _ProjParams(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(), (in_features, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
         return kernel, bias
+
+
+class _PatchEmbed(nn.Module):
+    """Non-overlapping patch embedding as space-to-depth + ONE matmul.
+
+    Numerically the same contraction as the stride-p conv the reference
+    uses (few_shot.py:664 conv1), but XLA lowers a kernel==stride conv
+    through the convolution emitter at <5% MXU — as a [B*g*g, p*p*3] x
+    [p*p*3, width] GEMM it runs at matmul speed (the conv fusion was 77 ms
+    of a 548 ms ViT-B/16 train step).  The param keeps nn.Conv's exact
+    name/shape/init ((p, p, in, width) "kernel" under this module's
+    scope), so checkpoints and the OpenAI converter are untouched."""
+
+    width: int
+    patch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, hh, ww, c = x.shape
+        p = self.patch
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (p, p, c, self.width), jnp.float32)
+        g_h, g_w = hh // p, ww // p
+        patches = (
+            x.reshape(b, g_h, p, g_w, p, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, g_h * g_w, p * p * c)
+        )
+        # (kh, kw, in) flatten order matches the (p, p, c) patch pixel order
+        return jnp.dot(patches, kernel.reshape(p * p * c, self.width).astype(self.dtype))
 
 
 class MultiheadAttention(nn.Module):
@@ -159,11 +218,34 @@ class MultiheadAttention(nn.Module):
             # layout via einsum was measured SLOWER — the 64-lane output
             # tiling costs the matmul more than the relayout copies save.)
             qkv = apply(q, jnp.concatenate([wq, wk, wv], axis=1), jnp.concatenate([bq, bk, bv]))
+            if self.attention_backend == "fused" and not causal and mask is None:
+                # whole-sequence Pallas kernel on the unsplit layout
+                # (ops/fused_attention.py): no head transposes, probability
+                # matrix never leaves VMEM
+                from clip_fsar_tpu.ops.fused_attention import clip_mha
+
+                out = clip_mha(qkv, self.heads)
+                return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="out_proj")(out)
+            if "unsplit" in self.attention_backend:
+                # keep the [B, N, 3, H, Dh] view — no head transposes; the
+                # attention einsums carry the head axis directly
+                # (ops/attention.mha_nhd)
+                from clip_fsar_tpu.ops.attention import mha_nhd
+
+                b, n, _ = qkv.shape
+                dh = self.dim // self.heads
+                qkvh = qkv.reshape(b, n, 3, self.heads, dh)
+                out = mha_nhd(
+                    qkvh[:, :, 0], qkvh[:, :, 1], qkvh[:, :, 2],
+                    mask=mask, causal=causal, bf16_softmax="bf16" in self.attention_backend,
+                ).reshape(b, n, self.dim)
+                return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="out_proj")(out)
             qp, kp, vp = jnp.split(qkv, 3, axis=-1)
         else:
             qp, kp, vp = apply(q, wq, bq), apply(k, wk, bk), apply(v, wv, bv)
         qh, kh, vh = (split_heads(t, self.heads) for t in (qp, kp, vp))
-        out = merge_heads(mha(qh, kh, vh, mask=mask, backend=self.attention_backend, causal=causal))
+        backend = self.attention_backend.replace(":unsplit", "")
+        out = merge_heads(mha(qh, kh, vh, mask=mask, backend=backend, causal=causal))
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="out_proj")(out)
 
 
@@ -280,11 +362,8 @@ class VisionTransformer(nn.Module):
     def __call__(self, x: jnp.ndarray, return_tokens: bool = False):
         p = self.patch_size
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            self.width, (p, p), strides=(p, p), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="conv1"
-        )(x)  # [B, g, g, width]
+        x = _PatchEmbed(width=self.width, patch=p, dtype=self.dtype, name="conv1")(x)  # [B, g*g, width]
         b = x.shape[0]
-        x = x.reshape(b, -1, self.width)  # [B, g*g, width]
 
         cls = self.param("class_embedding", nn.initializers.normal(self.width**-0.5), (self.width,), jnp.float32)
         pos = self.param(

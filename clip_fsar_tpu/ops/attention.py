@@ -68,6 +68,38 @@ def mha(
     return out.astype(dtype)
 
 
+def mha_nhd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    bf16_softmax: bool = False,
+) -> jnp.ndarray:
+    """Attention in the UNSPLIT [B, N, H, Dh] layout.
+
+    Skips the physical [B,N,D] -> [B,H,N,Dh] head transposes entirely:
+    the QKV projection output is viewed as [B, N, H, Dh] (a free reshape)
+    and the head axis rides along as an einsum batch dim — XLA folds the
+    layout change into the matmul instead of materializing relayout
+    copies (the reshape/copy + split buckets of the step profile,
+    PERFORMANCE.md).  Output is [B, N, H, Dh]; a free reshape gives
+    [B, N, D] for the out-projection.
+    """
+    dtype = q.dtype
+    smax_dtype = dtype if bf16_softmax else jnp.float32
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=smax_dtype)
+    logits = logits.astype(smax_dtype) * jnp.asarray(scale, smax_dtype)
+    if causal and mask is None:
+        mask = causal_mask(q.shape[1])
+    if mask is not None:
+        logits = logits + mask.astype(smax_dtype)
+    probs = jnn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), v, preferred_element_type=jnp.float32)
+    return out.astype(dtype)
+
+
 def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     """[B, N, D] -> [B, H, N, D/H]"""
     b, n, d = x.shape

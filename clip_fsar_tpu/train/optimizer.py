@@ -236,9 +236,11 @@ def build_optimizer(cfg, params, name_prefix: str = "") -> optax.GradientTransfo
             chain.append(optax.add_decayed_weights(wd, mask=decay_mask))  # torch-L2: before moments
         if bn_wd:
             chain.append(optax.add_decayed_weights(bn_wd, mask=bn_mask))
-        chain.append(optax.scale_by_adam(b1=0.9, b2=0.999))
+        core = optax.scale_by_adam(b1=0.9, b2=0.999)
+        chain.append(core)
     elif method == "adamw":
-        chain.append(optax.scale_by_adam(b1=0.9, b2=0.999))
+        core = optax.scale_by_adam(b1=0.9, b2=0.999)
+        chain.append(core)
         if wd:  # decoupled: after moments
             chain.append(optax.add_decayed_weights(wd, mask=decay_mask))
     elif method == "sgd":
@@ -246,7 +248,8 @@ def build_optimizer(cfg, params, name_prefix: str = "") -> optax.GradientTransfo
             chain.append(optax.add_decayed_weights(wd, mask=decay_mask))
         if bn_wd:
             chain.append(optax.add_decayed_weights(bn_wd, mask=bn_mask))
-        chain.append(optax.trace(decay=float(s.get("MOMENTUM", 0.9)), nesterov=bool(s.get("NESTEROV", False))))
+        core = optax.trace(decay=float(s.get("MOMENTUM", 0.9)), nesterov=bool(s.get("NESTEROV", False)))
+        chain.append(core)
     elif method == "lars":
         # weight decay goes INSIDE the LARS rule (per-group wd in the
         # trust-ratio denominator, reference lars.py:96-103) — folding it
@@ -277,8 +280,24 @@ def build_optimizer(cfg, params, name_prefix: str = "") -> optax.GradientTransfo
     if any(jax.tree_util.tree_leaves(fixed_mask)):
         chain.append(optax.masked(optax.set_to_zero(), fixed_mask))
 
-    tx = optax.chain(*chain)
     accum = int(cfg.TRAIN.get("BATCH_SIZE_PER_TASK", 1))
+    flat = bool(cfg.TPU.get("FLAT_OPTIMIZER", True)) if "TPU" in cfg else True
+    if flat and method != "lars":
+        # Flatten the moment/accumulator core: per-leaf optimizer math is
+        # launch-bound on TPU (~370 tiny select/add fusions = 71 ms of a
+        # 488 ms ViT-B/16 step, PERFORMANCE.md trace) — ravel the params
+        # once and run adam/momentum + MultiSteps accumulation as a few
+        # whole-model vector ops.  The masked decay/scale/freeze stages
+        # stay at tree level BEFORE/AFTER the flat core (their masks are
+        # per-leaf); decay moves from inside the accumulation window to
+        # per-micro-step, which is identical math because params are
+        # constant within a window.  LARS keeps the tree form — its trust
+        # ratio is per-parameter-tensor by definition.
+        idx = next(i for i, t in enumerate(chain) if t is core)
+        pre, post = chain[:idx], chain[idx + 1 :]
+        inner = optax.MultiSteps(core, every_k_schedule=accum) if accum > 1 else core
+        return optax.chain(*pre, optax.flatten(inner), *post)
+    tx = optax.chain(*chain)
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx

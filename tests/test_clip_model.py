@@ -155,3 +155,50 @@ def test_known_arch_table():
     assert ARCHS["RN50"].vision_heads == 32 and ARCHS["RN50"].embed_dim == 1024
     assert ARCHS["ViT-B/16"].embed_dim == 512
     assert not ARCHS["RN50"].is_vit and ARCHS["ViT-B/16"].is_vit
+
+
+def test_unsplit_attention_layout_matches_split():
+    """TPU.ATTENTION_LAYOUT=unsplit computes attention in the [B,N,H,Dh]
+    view (no head transposes) — must match the split layout bitwise-close
+    on the same weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_fsar_tpu.models.clip.model import MultiheadAttention
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(3, 17, 64).astype(np.float32))
+    split_attn = MultiheadAttention(64, 4, attention_backend="xla")
+    unsplit_attn = MultiheadAttention(64, 4, attention_backend="xla:unsplit")
+    vs = split_attn.init(jax.random.PRNGKey(0), x)
+    want = split_attn.apply(vs, x)
+    got = unsplit_attn.apply(vs, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+    # causal (text tower) path too
+    want_c = split_attn.apply(vs, x, causal=True)
+    got_c = unsplit_attn.apply(vs, x, causal=True)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_attention_backend_matches_split():
+    """backend='fused' (whole-sequence Pallas kernel, interpret mode on
+    CPU) must match the split XLA path on the same weights; causal calls
+    fall back to XLA inside the module."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_fsar_tpu.models.clip.model import MultiheadAttention
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 13, 64).astype(np.float32))
+    split_attn = MultiheadAttention(64, 4, attention_backend="xla")
+    fused_attn = MultiheadAttention(64, 4, attention_backend="fused")
+    vs = split_attn.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(fused_attn.apply(vs, x)), np.asarray(split_attn.apply(vs, x)), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused_attn.apply(vs, x, causal=True)),
+        np.asarray(split_attn.apply(vs, x, causal=True)),
+        rtol=2e-5, atol=2e-5,
+    )
