@@ -153,12 +153,23 @@ def make_classification_train_step(model, tx, cfg):
     return step
 
 
-def make_classification_eval_step(model, cfg):
+def make_classification_eval_step(model, cfg, capture_features: bool = False):
     mean = tuple(float(x) for x in cfg.DATA.MEAN)
     std = tuple(float(x) for x in cfg.DATA.STD)
 
     def step(variables, videos):
         x = normalize_images(videos, mean, std)
+        if capture_features:
+            # feature-map visualization (reference base_blocks.py:23-63):
+            # sow residual-block outputs in one traced apply instead of
+            # per-layer torch hooks
+            from clip_fsar_tpu.utils.visualization import feature_map_filter
+
+            (preds, _), inter = model.apply(
+                variables, x, train=False,
+                capture_intermediates=feature_map_filter(), mutable=["intermediates"],
+            )
+            return preds, inter["intermediates"]
         preds, _ = model.apply(variables, x, train=False)
         return preds
 
@@ -361,12 +372,24 @@ def test(cfg) -> Dict[str, float]:
             meter.update_stats(pv[valid], pn[valid], labels[valid, 0], labels[valid, 1], clip_ids[valid])
         return meter.finalize_metrics()
 
+    from clip_fsar_tpu.utils.visualization import save_feature_maps, visualization_enabled
+
+    viz = visualization_enabled(cfg)
+    if viz:
+        eval_step = jax.jit(make_classification_eval_step(model, cfg, capture_features=True))
+
     meter = TestMeter(
         num_videos=len(loader.ds.samples), num_clips=num_clips, num_cls=int(cfg.VIDEO.HEAD.NUM_CLASSES),
         ensemble_method=str(cfg.DATA.get("ENSEMBLE_METHOD", "sum")),
     )
+    viz_id = 0
     for videos, labels, clip_ids in loader:
-        preds = np.asarray(jax.device_get(eval_step(variables, jax.device_put(videos, sh))))
+        out = jax.device_get(eval_step(variables, jax.device_put(videos, sh)))
+        if viz:
+            preds, inter = np.asarray(out[0]), out[1]
+            viz_id += save_feature_maps(inter, cfg, start_id=viz_id)
+        else:
+            preds = np.asarray(out)
         valid = clip_ids >= 0
         meter.update_stats(preds[valid], labels[valid], clip_ids[valid])
     return meter.finalize_metrics()

@@ -272,3 +272,45 @@ def test_cutmix_minmax_distribution_matches_reference():
     assert area.min() >= lo - 1e-6 and area.max() <= hi + 1e-6
     assert abs(area.mean() - ref_area.mean()) < 0.03
     assert abs(area.std() - ref_area.std()) < 0.03
+
+
+def test_feature_map_visualization(cls_cfg, tmp_path):
+    """VISUALIZATION.FEATURE_MAPS dumps per-sample tiled block features
+    during multi-view test (reference base_blocks.py:23-63 hook)."""
+    from clip_fsar_tpu.train.classification import test as cls_test
+    from clip_fsar_tpu.train.classification import train as cls_train
+    from clip_fsar_tpu.utils.visualization import tile_feature_map
+
+    viz_dir = tmp_path / "viz"
+    cls_cfg.VISUALIZATION.ENABLE = True
+    cls_cfg.VISUALIZATION.NAME = "r2d3ds_test"
+    cls_cfg.VISUALIZATION.FEATURE_MAPS.ENABLE = True
+    cls_cfg.VISUALIZATION.FEATURE_MAPS.BASE_OUTPUT_DIR = str(viz_dir)
+    cls_train(cls_cfg)
+    result = cls_test(cls_cfg)
+    assert 0.0 <= result["top1_acc"] <= 100.0
+
+    sample_dirs = sorted((viz_dir / "r2d3ds_test").glob("im_*"))
+    # 8 test videos x 2 ensemble views
+    assert len(sample_dirs) == 16
+    files = list(sample_dirs[0].iterdir())
+    assert files, "no feature images written for sample 0"
+    # every captured residual block of every stage produced one tile
+    names = {f.name for f in files}
+    assert any("res" in n for n in names), names
+
+    # tile math matches the reference layout: [T,H,W,C] -> [C*H, T*W]
+    import numpy as np
+
+    feat = np.random.RandomState(0).rand(2, 3, 4, 5).astype(np.float32)
+    tile = tile_feature_map(feat)
+    assert tile.shape == (5 * 3, 2 * 4)
+    assert tile.min() >= 0.0 and tile.max() <= 1.0
+    # channel-axis normalization: per (t,h,w) site the max over channels is 1
+    np.testing.assert_allclose(
+        ((feat - feat.min(-1, keepdims=True)) / (feat.max(-1, keepdims=True) - feat.min(-1, keepdims=True)))
+        .transpose(3, 1, 0, 2)
+        .reshape(15, 8),
+        tile,
+        rtol=1e-6,
+    )
