@@ -49,6 +49,7 @@ def main() -> int:
     p.add_argument("--dtype", default="", choices=["", "bfloat16", "float32"])
     p.add_argument("--softmax-dtype", default="", choices=["", "bfloat16", "float32"])
     p.add_argument("--scan-layers", action="store_true", help="lax.scan over transformer depth")
+    p.add_argument("--frame-chunks", type=int, default=0, help="sequential rematted tower chunks (TPU.FRAME_CHUNKS)")
     p.add_argument("--profile", default="", help="write a jax.profiler trace to this dir")
     p.add_argument("--loader", action="store_true", help="benchmark the host episode pipeline instead of the device step")
     p.add_argument("--real", action="store_true", help="with --loader: real mp4 decode (+ frame cache) instead of the synthetic decoder")
@@ -106,6 +107,8 @@ def main() -> int:
         cfg.TPU.SOFTMAX_DTYPE = args.softmax_dtype
     if args.scan_layers:
         cfg.TPU.SCAN_LAYERS = True
+    if args.frame_chunks:
+        cfg.TPU.FRAME_CHUNKS = args.frame_chunks
     mesh = build_mesh(cfg)
 
     model = build_few_shot_model(cfg, jax.random.PRNGKey(0))
@@ -128,9 +131,12 @@ def main() -> int:
         step_fn = jax.jit(make_eval_step(model.head, cfg, model.text_train, model.text_test))
         variables = replicate(model.variables, mesh)
 
-        def run_once():
+        def run_once(block=True):
+            # eval dispatches are independent (no state carried), so the
+            # per-step sync must stay — unchained dispatches through the
+            # axon tunnel overlap and wall-clock lies (PERFORMANCE.md)
             out = step_fn(variables, batch)
-            jax.block_until_ready(out["top1_correct"])
+            float(np.asarray(jax.device_get(out["top1_correct"])).sum())
     else:
         # donate the state like the real training loop (train/loop.py) does —
         # without donation XLA keeps old+new optimizer state live (~3 extra
@@ -142,10 +148,20 @@ def main() -> int:
         lr = jnp.float32(1e-5)
         state_box = [state]
 
-        def run_once():
+        def run_once(block=True):
             new_state, metrics = train_step(state_box[0], batch, lr, rng_key)
-            jax.block_until_ready(new_state.params["scale"])
             state_box[0] = new_state
+            if block:
+                # per-step sync: needed around compiles/profiling, but NOT
+                # inside the timing loop — steps chain through the donated
+                # state, so async dispatch measures truthfully (see
+                # PERFORMANCE.md "Timing through the axon tunnel") and the
+                # per-step host/tunnel round-trip (~29 ms here) is
+                # pipelined away like a real training loop would.  The
+                # fence is a scalar device_get, not block_until_ready —
+                # through the axon tunnel the latter can return before the
+                # device work ran (measured in the kernel micro-bench).
+                float(jax.device_get(new_state.params["scale"])[0])
 
     # warmup (compile); fall back to fewer episodes per step on OOM so the
     # unattended end-of-round bench always produces a number
@@ -157,29 +173,35 @@ def main() -> int:
         # retrying with --remat when auto already enabled it would re-run
         # the identical graph into the same OOM
         remat_on = bool(getattr(model.head, "remat", cfg.TPU.get("REMAT", False) is True))
-        if not oom or (remat_on and episodes <= n_dev):
+        chunks = int(cfg.TPU.get("FRAME_CHUNKS", 1))
+        is_vit = args.backbone.startswith("ViT")
+        if not oom or (remat_on and episodes <= n_dev and (chunks >= 16 or not is_vit)):
             raise
-        # fallback chain: turn remat on first (keeps the batch), then
-        # shrink the episode batch — the unattended end-of-round bench
-        # must always land a number
+        # fallback chain: remat (keeps the batch) -> shrink the episode
+        # batch -> frame-chunk the tower (ViT only) — the unattended
+        # end-of-round bench must always land a number
         argv, skip = [sys.argv[0]], False
-        drop = {"--episodes", "--remat", "--no-remat"}
+        drop = {"--episodes", "--remat", "--no-remat", "--frame-chunks"}
         for a in sys.argv[1:]:
             if skip:
                 skip = False
                 continue
-            if a == "--episodes":
+            if a in ("--episodes", "--frame-chunks"):
                 skip = True
                 continue
-            if a.startswith("--episodes=") or a in drop:
+            if a.startswith("--episodes=") or a.startswith("--frame-chunks=") or a in drop:
                 continue
             argv.append(a)
         if not remat_on:
             sys.stderr.write(f"OOM at {episodes} episodes/step without remat — retrying with remat\n")
             sys.argv = argv + ["--remat", "--episodes", str(episodes)]
-        else:
+        elif episodes > n_dev:
             sys.stderr.write(f"OOM at {episodes} episodes/step — retrying at {n_dev}\n")
             sys.argv = argv + ["--remat", "--episodes", str(n_dev)]
+        else:
+            next_chunks = max(chunks * 4, 4)
+            sys.stderr.write(f"OOM at {episodes} episodes/step with remat — retrying with {next_chunks} frame chunks\n")
+            sys.argv = argv + ["--remat", "--episodes", str(episodes), "--frame-chunks", str(next_chunks)]
         return main()
     for _ in range(1):
         run_once()
@@ -187,8 +209,9 @@ def main() -> int:
         with jax.profiler.trace(args.profile):
             run_once()
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        run_once()
+    for _ in range(args.steps - 1):
+        run_once(block=False)
+    run_once(block=True)  # fence; train steps chain through donated state
     dt = time.perf_counter() - t0
 
     eps_per_sec = episodes * args.steps / dt
@@ -202,8 +225,9 @@ def main() -> int:
     # mfu_useful = analytic useful FLOPs (fwd+2x bwd, no remat recompute).
     mfu = None
     mfu_useful = None
-    if args.backbone == "ViT-B/16" and args.res == 224:
-        useful_tflops = frames_per_sec * 35.2e9 * (1.0 if args.eval else 3.0) / 1e12
+    gfpf = _vit_gflops_per_frame(args.backbone, args.res)
+    if gfpf:
+        useful_tflops = frames_per_sec * gfpf * 1e9 * (1.0 if args.eval else 3.0) / 1e12
         mfu_useful = round(useful_tflops / 197.0 / n_dev, 4)
     step_gflops = None
     try:
@@ -246,6 +270,24 @@ def main() -> int:
     }
     print(json.dumps(result))
     return 0
+
+
+def _vit_gflops_per_frame(backbone: str, res: int):
+    """Analytic useful GFLOP per frame forward for a ViT CLIP tower at the
+    given crop (2 FLOP per MAC — the published per-model "GFLOPs" numbers
+    count MACs; see PERFORMANCE.md "Corrected roofline").  None for
+    non-ViT backbones.  Used for mfu_useful because the HLO cost analysis
+    undercounts scan-over-layers graphs (loop bodies counted once)."""
+    from clip_fsar_tpu.models.clip.model import ARCHS
+
+    arch = ARCHS.get(backbone)
+    if arch is None or not arch.is_vit:
+        return None
+    w, l, p = arch.vision_width, arch.vision_layers, arch.vision_patch_size
+    n = (res // p) ** 2 + 1
+    per_layer = 8 * n * w * w + 16 * n * w * w + 4 * n * n * w  # qkv+out, mlp(4x), attn
+    patch = 2 * (n - 1) * w * 3 * p * p
+    return (l * per_layer + patch) / 1e9
 
 
 def _make_real_videos(root: str, num_videos: int = 40, frames: int = 72, size=(240, 180)) -> None:

@@ -186,6 +186,7 @@ def build_few_shot_model(cfg, rng=None) -> FewShotModel:
         remat_policy=str(cfg.TPU.get("REMAT_POLICY", "nothing")) if "TPU" in cfg else "nothing",
         attention_backend=_attention_backend_from_cfg(cfg),
         scan_layers=scan_layers,
+        frame_chunks=int(cfg.TPU.get("FRAME_CHUNKS", 1)) if "TPU" in cfg else 1,
     )
 
     if not isinstance(head, CLIPFSARHead):
@@ -272,7 +273,7 @@ def _assemble_classic_head(cfg, head, rng, text_train, text_test, clip_vars=None
 # registry entry matching the reference head name: a factory so every head
 # shares the (cfg, **build options) calling convention
 @HEAD_REGISTRY.register(name="CNN_OTAM_CLIPFSAR")
-def _build_clipfsar_head(cfg, arch=None, dtype=jnp.float32, remat=False, remat_policy="nothing", attention_backend="xla", scan_layers=False, **kw):
+def _build_clipfsar_head(cfg, arch=None, dtype=jnp.float32, remat=False, remat_policy="nothing", attention_backend="xla", scan_layers=False, frame_chunks=1, **kw):
     if arch is None:
         arch = ARCHS[cfg.VIDEO.HEAD.BACKBONE_NAME]
     # reference trains the whole model (model.train()), so RN BatchNorm runs
@@ -287,6 +288,7 @@ def _build_clipfsar_head(cfg, arch=None, dtype=jnp.float32, remat=False, remat_p
         remat_policy=remat_policy,
         attention_backend=attention_backend,
         scan_layers=scan_layers,
+        frame_chunks=frame_chunks,
     )
 
 

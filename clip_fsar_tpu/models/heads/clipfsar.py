@@ -77,6 +77,14 @@ class CLIPFSARHead(nn.Module):
     remat_policy: str = "nothing"
     attention_backend: str = "xla"
     scan_layers: bool = False
+    # >1: run the frame batch through the ViT tower in this many sequential
+    # chunks, each rematted as a whole (TPU.FRAME_CHUNKS).  Bounds the
+    # live layer-boundary activations to ONE chunk — ViT-L/14@336px with
+    # 16 frames needs 24 x [480,577,1024] bf16 saves (~13.6 GB) and OOMs
+    # a 16 GB v5e without it.  Costs one extra tower forward in backward
+    # (~+33% tower FLOPs).  Per-frame math is independent, so results are
+    # bitwise identical to the unchunked tower.
+    frame_chunks: int = 1
 
     def setup(self):
         a = self.arch
@@ -125,7 +133,24 @@ class CLIPFSARHead(nn.Module):
         n, t = images.shape[:2]
         flat = images.reshape((n * t,) + images.shape[2:])
         if self.arch.is_vit:
-            feats = self.backbone(flat)
+            chunks = self.frame_chunks
+            if chunks > 1 and flat.shape[0] % chunks == 0 and not self.is_initializing():
+                # sequential rematted chunks via nn.scan: params broadcast,
+                # only one chunk's tower activations live at a time
+                def body(mdl, carry, xs):
+                    return carry, mdl.backbone(xs)
+
+                scanned = nn.scan(
+                    nn.remat(body, prevent_cse=False),
+                    variable_broadcast="params",
+                    split_rngs={"params": False, "dropout": False},
+                    in_axes=0,
+                    out_axes=0,
+                )
+                _, feats = scanned(self, (), flat.reshape((chunks, flat.shape[0] // chunks) + flat.shape[1:]))
+                feats = feats.reshape((flat.shape[0],) + feats.shape[2:])
+            else:
+                feats = self.backbone(flat)
         else:
             feats = self.backbone(flat, train=train and self.train_backbone_bn)
         return feats.reshape(n, t, -1)

@@ -126,3 +126,47 @@ def test_head_cfg_from_cfg():
     hc = CLIPFSARConfig.from_cfg(cfg)
     assert hc.way == 5 and hc.num_frames == 8 and hc.use_classification and hc.merge_before
     assert not hc.combine and hc.text_coff is None
+
+
+def test_frame_chunks_match_unchunked(head_and_params):
+    """TPU.FRAME_CHUNKS: sequential rematted tower chunks are numerically
+    identical to the one-shot tower (per-frame math is independent), for
+    both forward logits and gradients."""
+    head, variables, text_train, text_test = head_and_params
+    chunked = CLIPFSARHead(arch=ARCH, head_cfg=CLIPFSARConfig(way=WAY, num_frames=T), frame_chunks=3)
+    ep = make_episode(4)
+
+    out_ref = head.apply(variables, ep, text_train, text_test, train=False)
+    out_chk = chunked.apply(variables, ep, text_train, text_test, train=False)
+    np.testing.assert_allclose(np.asarray(out_chk["logits"]), np.asarray(out_ref["logits"]), rtol=1e-5, atol=1e-5)
+
+    def loss(h):
+        def f(params):
+            out = h.apply(
+                {**variables, "params": params}, ep, text_train, text_test,
+                train=True, deterministic=True,
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+            return jnp.mean(out["logits"])
+        return jax.grad(f)(variables["params"])
+
+    g_ref, g_chk = loss(head), loss(chunked)
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    flat_chk = jax.tree_util.tree_leaves(g_chk)
+    assert len(flat_ref) == len(flat_chk)
+    for a, b in zip(flat_ref, flat_chk):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_frame_chunks_init_params_identical():
+    """Param tree (names and shapes) is unchanged by chunking — checkpoints
+    move freely between chunked and unchunked execution."""
+    ep = make_episode(5)
+    tt = jnp.zeros((C_TRAIN, DIM), jnp.float32)
+    v1 = CLIPFSARHead(arch=ARCH, head_cfg=CLIPFSARConfig(way=WAY, num_frames=T)).init(
+        jax.random.PRNGKey(0), ep, tt, tt, train=False)
+    v2 = CLIPFSARHead(arch=ARCH, head_cfg=CLIPFSARConfig(way=WAY, num_frames=T), frame_chunks=3).init(
+        jax.random.PRNGKey(0), ep, tt, tt, train=False)
+    s1 = jax.tree_util.tree_map(lambda x: x.shape, v1)
+    s2 = jax.tree_util.tree_map(lambda x: x.shape, v2)
+    assert s1 == s2
