@@ -126,6 +126,11 @@ class LayerNorm(nn.Module):
         # path flax's nn.LayerNorm used here before, so checkpoints and
         # the OpenAI converter are untouched
         g, b = _LNParams(name="LayerNorm_0")(n)
+        # NOTE: a standalone Pallas LayerNorm (ops/fused_layernorm.py) was
+        # measured HERE and lost 26% of train throughput (PERFORMANCE.md
+        # "LayerNorm"): XLA fuses this formulation's forward into the
+        # consumer matmul's pipeline and overlaps the backward fusions;
+        # an opaque custom-VJP kernel forfeits both.  Keep the XLA chain.
         mu = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
         m2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
         var = jnp.maximum(m2 - jnp.square(mu), 0.0)
