@@ -139,11 +139,19 @@ def make_classification_train_step(model, tx, cfg):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, videos, labels, rng
         )
+        # NaN guard via lax.cond — only the taken branch runs on TPU (see
+        # train/step.py; per-leaf jnp.where selects cost ~6 ms/step)
         ok = jnp.isfinite(loss)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, apply_lr(updates, lr))
-        keep = lambda n, o: jax.tree_util.tree_map(lambda a, b: jnp.where(ok, a, b), n, o)
-        state = state.replace(step=state.step + 1, params=keep(params, state.params), opt_state=keep(opt_state, state.opt_state))
+
+        def do_update(args):
+            grads, params, opt_state = args
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, apply_lr(updates, lr)), opt_state
+
+        params, opt_state = jax.lax.cond(
+            ok, do_update, lambda args: (args[1], args[2]), (grads, state.params, state.opt_state)
+        )
+        state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
         if ema_decay is not None and state.ema_params is not None:
             state = state.replace(
                 ema_params=jax.tree_util.tree_map(lambda e, p: ema_decay * e + (1 - ema_decay) * p, state.ema_params, state.params)

@@ -132,14 +132,22 @@ def make_train_step(head, tx, cfg, text_train, text_test) -> Callable:
         # NaN guard (reference train_net_few_shot.py:140-144): a non-finite
         # loss leaves params AND optimizer state untouched (Adam moments
         # would otherwise still move parameters on zero gradients).
+        # lax.cond executes only the taken branch on TPU — the common
+        # (finite) path pays zero guard cost, vs ~6 ms/step of per-leaf
+        # jnp.where select passes in the tree_map formulation.
         ok = jnp.isfinite(loss)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, apply_lr(updates, lr))
-        keep = lambda new, old: jax.tree_util.tree_map(lambda n, o: jnp.where(ok, n, o), new, old)
-        params = keep(params, state.params)
-        opt_state = keep(opt_state, state.opt_state)
+
+        def do_update(args):
+            grads, params, opt_state = args
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, apply_lr(updates, lr)), opt_state
+
+        params, opt_state = jax.lax.cond(
+            ok, do_update, lambda args: (args[1], args[2]), (grads, state.params, state.opt_state)
+        )
         new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
         if new_stats is not None:
+            keep = lambda new, old: jax.tree_util.tree_map(lambda n, o: jnp.where(ok, n, o), new, old)
             new_state = new_state.replace(batch_stats=keep(new_stats, state.batch_stats))
         if ema_decay is not None:
             ema = jax.tree_util.tree_map(

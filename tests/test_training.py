@@ -200,6 +200,32 @@ def test_multisteps_accumulation():
     np.testing.assert_allclose(np.asarray(params["w"]), [-0.5, -1.0], rtol=1e-6)
 
 
+def test_cond_multi_steps_matches_optax_multisteps():
+    """cond_multi_steps (lax.cond accumulation) == optax.MultiSteps over
+    several full windows of adam updates."""
+    import optax as _optax
+
+    from clip_fsar_tpu.train.optimizer import cond_multi_steps
+
+    k = 3
+    core_a = _optax.scale_by_adam(b1=0.9, b2=0.999)
+    core_b = _optax.scale_by_adam(b1=0.9, b2=0.999)
+    tx_a = cond_multi_steps(core_a, k)
+    tx_b = _optax.MultiSteps(core_b, every_k_schedule=k)
+    params = {"w": jnp.asarray([0.5, -1.0, 2.0]), "b": jnp.asarray([0.1])}
+    st_a, st_b = tx_a.init(params), tx_b.init(params)
+    rng = np.random.RandomState(0)
+    for i in range(2 * k + 1):
+        g = jax.tree_util.tree_map(lambda p: jnp.asarray(rng.randn(*p.shape), jnp.float32), params)
+        u_a, st_a = tx_a.update(g, st_a, params)
+        u_b, st_b = tx_b.update(g, st_b, params)
+        emit = (i + 1) % k == 0
+        for ka in u_a:
+            np.testing.assert_allclose(np.asarray(u_a[ka]), np.asarray(u_b[ka]), rtol=1e-5, atol=1e-7)
+            if not emit:
+                assert np.allclose(np.asarray(u_a[ka]), 0.0)
+
+
 def test_train_step_updates_params_and_handles_nan():
     from clip_fsar_tpu.models.clip.model import ARCHS
     from clip_fsar_tpu.models.heads.clipfsar import CLIPFSARConfig, CLIPFSARHead
