@@ -151,24 +151,50 @@ class CachedVideoDecoder:
     """
 
     def __init__(self, cache_dir: Optional[str] = None, max_frames: int = 64, jpeg_quality: int = 90):
+        import collections
         import tempfile
+        import threading
 
         self.inner = OpenCVDecoder()
         self.cache_dir = cache_dir or os.path.join(tempfile.gettempdir(), "clip_fsar_frame_cache")
         self.max_frames = int(max_frames)
         self.jpeg_quality = int(jpeg_quality)
         os.makedirs(self.cache_dir, exist_ok=True)
+        # per-path LRU of materialized cache contents: the eval loop calls
+        # length()/fps()/read() several times per clip per episode, and a
+        # fresh np.load (zip central-directory parse) per call costs more
+        # than the JPEG decodes it precedes.  Entries are plain dicts (the
+        # NpzFile is drained and closed at insert) so loader THREADS can
+        # read them without locking; ~2 MB/video of encoded JPEGs keeps
+        # the 64-entry cap near 128 MB worst-case
+        self._lru: "collections.OrderedDict[str, dict]" = collections.OrderedDict()
+        self._lru_cap = 64
+        self._lock = threading.Lock()
 
     def _cache_path(self, path: str) -> str:
-        key = hashlib.md5(path.encode()).hexdigest()[:16]
+        # key on content identity (path + size + mtime) AND the cache
+        # parameters: re-encoded source files and FRAME_CACHE_FRAMES /
+        # JPEG-quality changes must miss, not silently reuse stale frames
+        try:
+            st = os.stat(path)
+            sig = f"{path}:{st.st_size}:{int(st.st_mtime)}"
+        except OSError:
+            sig = path
+        key = hashlib.md5(f"{sig}:{self.max_frames}:{self.jpeg_quality}".encode()).hexdigest()[:16]
         return os.path.join(self.cache_dir, f"{key}.npz")
 
     def _ensure(self, path: str):
         import cv2
 
+        with self._lock:
+            z = self._lru.get(path)
+            if z is not None:
+                self._lru.move_to_end(path)
+                return z
+
         cpath = self._cache_path(path)
         if os.path.exists(cpath):
-            return np.load(cpath, allow_pickle=False)
+            return self._remember(path, np.load(cpath, allow_pickle=False))
         n = self.inner.length(path)
         fps = self.inner.fps(path)
         keep = np.unique(np.linspace(0, n - 1, min(self.max_frames, n)).round().astype(np.int64))
@@ -188,7 +214,17 @@ class CachedVideoDecoder:
         with os.fdopen(fd, "wb") as fh:
             np.savez(fh, **blob)
         os.replace(tmp, cpath)
-        return np.load(cpath, allow_pickle=False)
+        return self._remember(path, np.load(cpath, allow_pickle=False))
+
+    def _remember(self, path: str, z) -> dict:
+        data = {k: z[k] for k in z.files}
+        z.close()
+        with self._lock:
+            self._lru[path] = data
+            self._lru.move_to_end(path)
+            while len(self._lru) > self._lru_cap:
+                self._lru.popitem(last=False)
+        return data
 
     def length(self, path: str) -> int:
         return int(self._ensure(path)["length"])

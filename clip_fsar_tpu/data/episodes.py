@@ -192,6 +192,17 @@ class EpisodeLoader:
             th.start()
             self._threads.append(th)
 
+    def _empty_batch(self, sampler: EpisodeSampler) -> Episode:
+        """Zero-row batch with the step batch's trailing shapes/dtypes,
+        derived from one template episode (computed once)."""
+        if getattr(self, "_empty_template", None) is None:
+            import jax
+
+            sampler.reseed_for_slot(self.start_step, 0)
+            template = stack_episodes([sampler.sample_episode()])
+            self._empty_template = jax.tree_util.tree_map(lambda x: x[:0], template)
+        return self._empty_template
+
     def _claim(self) -> Optional[int]:
         with self._cond:
             while not self._stop.is_set():
@@ -215,7 +226,11 @@ class EpisodeLoader:
                 for slot in range(*self.episode_range):
                     sampler.reseed_for_slot(step, slot)
                     eps.append(sampler.sample_episode())
-                batch = stack_episodes(eps)
+                # a model-only host owns no data-axis rows (episode_range
+                # (0,0), parallel/mesh.py::local_episode_range) — it still
+                # must emit a structurally-correct [0, ...] batch for
+                # make_array_from_process_local_data
+                batch = stack_episodes(eps) if eps else self._empty_batch(sampler)
                 with self._cond:
                     self._buffer[step] = batch
                     self._cond.notify_all()

@@ -101,17 +101,28 @@ def _clip_checkpoint_path(cfg) -> Optional[str]:
     return None
 
 
-def _adapt_vision_resolution(cfg, arch):
+def _adapt_vision_resolution(cfg, arch, flow: str = "auto"):
     """The tower's spatial resolution follows the configured crop size.
 
     The reference CLIP towers are fixed at their native resolution (224 /
     336); this framework additionally builds them at any crop that tiles
     the patch (ViT) / stride-32 stem (RN) so small-resolution runs (CPU
     dryruns, ablations) use the REAL architecture.  All shipped CLIP-FSAR
-    configs crop at the native resolution, where this is a no-op."""
+    configs crop at the native resolution, where this is a no-op.
+
+    ``flow`` selects which crop the tower must consume: "train" /
+    "test" (passed by the runners, each of which builds its own model),
+    or "auto" = train when TRAIN.ENABLE else test."""
     import dataclasses
 
-    crop = int(cfg.DATA.get("TRAIN_CROP_SIZE", 0) or cfg.DATA.get("TEST_CROP_SIZE", 0) or 0) if "DATA" in cfg else 0
+    if "DATA" not in cfg:
+        return arch
+    train_crop = int(cfg.DATA.get("TRAIN_CROP_SIZE", 0) or 0)
+    test_crop = int(cfg.DATA.get("TEST_CROP_SIZE", 0) or 0)
+    if flow == "auto":
+        train_enabled = bool(cfg.TRAIN.get("ENABLE", False)) if "TRAIN" in cfg else False
+        flow = "train" if train_enabled else "test"
+    crop = (train_crop or test_crop) if flow == "train" else (test_crop or train_crop)
     if not crop or crop == arch.image_resolution:
         return arch
     tile = arch.vision_patch_size if arch.vision_patch_size else 32
@@ -122,7 +133,7 @@ def _adapt_vision_resolution(cfg, arch):
     return dataclasses.replace(arch, image_resolution=crop)
 
 
-def load_or_init_clip(cfg, rng) -> tuple:
+def load_or_init_clip(cfg, rng, flow: str = "auto") -> tuple:
     """Returns (arch, clip_variables).  Loads OpenAI weights when present,
     otherwise random-initializes (tests / synthetic benchmarking)."""
     backbone_name = cfg.VIDEO.HEAD.BACKBONE_NAME
@@ -132,13 +143,13 @@ def load_or_init_clip(cfg, rng) -> tuple:
 
         logger.info("Loading CLIP weights from %s", ckpt)
         arch, variables = load_openai_checkpoint(ckpt)
-        resized = _adapt_vision_resolution(cfg, arch)
+        resized = _adapt_vision_resolution(cfg, arch, flow)
         if resized.image_resolution != arch.image_resolution:
             variables = resize_vision_pos_embed(variables, resized)
         return resized, variables
     if backbone_name not in ARCHS:
         raise KeyError(f"Unknown backbone {backbone_name!r}; known: {sorted(ARCHS)}")
-    arch = _adapt_vision_resolution(cfg, ARCHS[backbone_name])
+    arch = _adapt_vision_resolution(cfg, ARCHS[backbone_name], flow)
     logger.info("No CLIP checkpoint found for %s — random init", backbone_name)
     model = CLIP(arch=arch)
     imgs = jnp.zeros((1, arch.image_resolution, arch.image_resolution, 3), jnp.float32)
@@ -157,12 +168,12 @@ def encode_class_names(cfg, arch: CLIPArch, clip_variables, class_names, prompt:
     return jax.jit(text_module.apply)(text_vars, toks)
 
 
-def build_few_shot_model(cfg, rng=None) -> FewShotModel:
+def build_few_shot_model(cfg, rng=None, flow: str = "auto") -> FewShotModel:
     rng = rng if rng is not None else jax.random.PRNGKey(int(cfg.get("RANDOM_SEED", 0)))
 
     needs_clip = cfg.VIDEO.HEAD.NAME == "CNN_OTAM_CLIPFSAR" or cfg.VIDEO.HEAD.BACKBONE_NAME in ARCHS
     if needs_clip:
-        arch, clip_vars = load_or_init_clip(cfg, rng)
+        arch, clip_vars = load_or_init_clip(cfg, rng, flow)
         prompt = cfg.TEST.get("PROMPT", None) if "TEST" in cfg else None
         names_train = list(cfg.TRAIN.get("CLASS_NAME", []) or [])
         names_test = list(cfg.TEST.get("CLASS_NAME", []) or [])

@@ -395,7 +395,7 @@ def test(cfg) -> Dict[str, float]:
         out = jax.device_get(eval_step(variables, jax.device_put(videos, sh)))
         if viz:
             preds, inter = np.asarray(out[0]), out[1]
-            viz_id += save_feature_maps(inter, cfg, start_id=viz_id)
+            viz_id += save_feature_maps(inter, cfg, start_id=viz_id, valid=clip_ids >= 0)
         else:
             preds = np.asarray(out)
         valid = clip_ids >= 0

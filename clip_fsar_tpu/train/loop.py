@@ -136,7 +136,7 @@ def train_few_shot(cfg) -> Dict[str, float]:
     logger.info("mesh: %s devices on axis 'data'; %d episodes/step", mesh.devices.size, e)
 
     rng = jax.random.PRNGKey(int(cfg.get("RANDOM_SEED", 0)))
-    model = build_few_shot_model(cfg, rng)
+    model = build_few_shot_model(cfg, rng, flow="train")
     tx = build_optimizer(cfg, model.variables["params"], name_prefix="head")
     state = build_state(cfg, model, tx)
 
@@ -245,7 +245,7 @@ def test_few_shot(cfg) -> Dict[str, float]:
     maybe_init_distributed(cfg)  # same multi-host join as train_few_shot
     mesh = build_mesh(cfg)
     rng = jax.random.PRNGKey(int(cfg.get("RANDOM_SEED", 0)))
-    model = build_few_shot_model(cfg, rng)
+    model = build_few_shot_model(cfg, rng, flow="test")
 
     # test-time checkpoint search (reference checkpoint.py:452-529):
     # TEST path -> latest train checkpoint -> TRAIN path -> fresh weights

@@ -332,20 +332,21 @@ def build_optimizer(cfg, params, name_prefix: str = "") -> optax.GradientTransfo
     accum = int(cfg.TRAIN.get("BATCH_SIZE_PER_TASK", 1))
     flat = bool(cfg.TPU.get("FLAT_OPTIMIZER", True)) if "TPU" in cfg else True
     if flat and method != "lars":
-        # Flatten the moment/accumulator core: per-leaf optimizer math is
-        # launch-bound on TPU (~370 tiny select/add fusions = 71 ms of a
-        # 488 ms ViT-B/16 step, PERFORMANCE.md trace) — ravel the params
-        # once and run adam/momentum + MultiSteps accumulation as a few
-        # whole-model vector ops.  The masked decay/scale/freeze stages
-        # stay at tree level BEFORE/AFTER the flat core (their masks are
-        # per-leaf); decay moves from inside the accumulation window to
-        # per-micro-step, which is identical math because params are
-        # constant within a window.  LARS keeps the tree form — its trust
-        # ratio is per-parameter-tensor by definition.
+        # Flatten the moment core: per-leaf optimizer math is launch-bound
+        # on TPU (~370 tiny select/add fusions = 71 ms of a 488 ms
+        # ViT-B/16 step, PERFORMANCE.md trace) — ravel the params once and
+        # run the adam/momentum moments as a few whole-model vector ops.
+        # The masked decay/scale/freeze stages stay at tree level
+        # BEFORE/AFTER the flat core (their masks are per-leaf), and
+        # accumulation wraps the WHOLE chain so clipping applies to the
+        # window mean and decoupled (adamw) decay fires only on emitting
+        # steps — identical semantics to the non-flat MultiSteps path.
+        # LARS keeps the tree form — its trust ratio is
+        # per-parameter-tensor by definition.
         idx = next(i for i, t in enumerate(chain) if t is core)
         pre, post = chain[:idx], chain[idx + 1 :]
-        inner = cond_multi_steps(core, accum) if accum > 1 else core
-        return optax.chain(*pre, optax.flatten(inner), *post)
+        tx = optax.chain(*pre, optax.flatten(core), *post)
+        return cond_multi_steps(tx, accum) if accum > 1 else tx
     tx = optax.chain(*chain)
     if accum > 1:
         tx = cond_multi_steps(tx, accum)

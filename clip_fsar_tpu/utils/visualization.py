@@ -73,31 +73,35 @@ def tile_feature_map(feat: np.ndarray) -> np.ndarray:
     return x.transpose(3, 1, 0, 2).reshape(c * h, t * w)
 
 
-def save_feature_maps(intermediates: Any, cfg, start_id: int = 0) -> int:
+def save_feature_maps(intermediates: Any, cfg, start_id: int = 0, valid=None) -> int:
     """Write per-sample tiled feature images for every captured block.
 
     intermediates: the ``intermediates`` collection from
     ``model.apply(..., capture_intermediates=feature_map_filter(),
     mutable=["intermediates"])``; leaves are [B, T, H, W, C].
-    Returns the number of samples written (caller advances start_id —
-    the reference's ``self.id`` counter, base_blocks.py:34,63).
+    valid: optional [B] bool mask — padded loader rows (clip_ids < 0) are
+    skipped so image ids track REAL samples, like the reference's
+    ``self.id`` counter (base_blocks.py:34,63) which only ever sees real
+    batch rows.  Returns the number of samples written (caller advances
+    start_id).
     """
     base = str(cfg.VISUALIZATION.FEATURE_MAPS.get("BASE_OUTPUT_DIR", "") or cfg.get("OUTPUT_DIR", "."))
     name = str(cfg.VISUALIZATION.get("NAME", "") or "default")
-    batch = 0
+    written = 0
     for path, feat in _flatten(intermediates).items():
         if feat.ndim == 4:  # unbatched [T,H,W,C]
             feat = feat[None]
         if feat.ndim != 5:
             continue  # not a spatiotemporal feature map
-        batch = feat.shape[0]
+        rows = range(feat.shape[0]) if valid is None else [i for i in range(feat.shape[0]) if i < len(valid) and valid[i]]
+        written = len(rows)
         layer = "_".join(p for p in path if p != "__call__") or "layer"
-        for i in range(batch):
-            sample_dir = os.path.join(base, name, f"im_{start_id + i}")
+        for out_i, i in enumerate(rows):
+            sample_dir = os.path.join(base, name, f"im_{start_id + out_i}")
             os.makedirs(sample_dir, exist_ok=True)
             tile = (tile_feature_map(feat[i]) * 255.0).round().astype(np.uint8)
             _write_gray(os.path.join(sample_dir, f"{layer}_feature.jpg"), tile)
-    return batch
+    return written
 
 
 def _write_gray(path: str, img: np.ndarray) -> None:

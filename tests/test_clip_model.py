@@ -202,3 +202,24 @@ def test_fused_attention_backend_matches_split():
         np.asarray(split_attn.apply(vs, x, causal=True)),
         rtol=2e-5, atol=2e-5,
     )
+
+
+def test_adapt_vision_resolution_follows_the_running_flow():
+    """The tower must be sized for the pixels the active flow feeds it:
+    a test-only config (TRAIN.ENABLE false) with a different train crop
+    consumes TEST_CROP_SIZE; explicit flow= from the runners wins."""
+    from clip_fsar_tpu.config.config import Config
+    from clip_fsar_tpu.models.builder import _adapt_vision_resolution
+
+    arch = ARCHS["ViT-B/16"]
+
+    def cfg(train_enable):
+        return Config({
+            "DATA": {"TRAIN_CROP_SIZE": 192, "TEST_CROP_SIZE": 224},
+            "TRAIN": {"ENABLE": train_enable},
+        })
+
+    assert _adapt_vision_resolution(cfg(False), arch).image_resolution == 224
+    assert _adapt_vision_resolution(cfg(True), arch).image_resolution == 192
+    assert _adapt_vision_resolution(cfg(True), arch, flow="test").image_resolution == 224
+    assert _adapt_vision_resolution(cfg(False), arch, flow="train").image_resolution == 192

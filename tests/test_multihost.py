@@ -54,6 +54,22 @@ def test_episode_range_slices_the_global_batch():
         np.testing.assert_array_equal(np.asarray(pb.target_labels), np.asarray(fb.target_labels)[1:3])
 
 
+def test_episode_range_empty_shard_yields_zero_row_batches():
+    """A model-only host (local_episode_range (0, 0)) must produce
+    structurally-correct [0, ...] batches, not crash the worker —
+    regression for stack_episodes([])."""
+    from clip_fsar_tpu.data.loader import build_few_shot_loader
+
+    cfg = small_cfg()
+    with build_few_shot_loader(cfg, "train", num_steps=2, episodes_per_step=4, episode_range=(0, 0)) as loader:
+        batches = list(loader)
+    assert len(batches) == 2
+    for b in batches:
+        assert b.support_images.shape[0] == 0
+        assert b.support_images.ndim == 6  # [E, S, T, H, W, C] structure intact
+        assert b.target_labels.shape[0] == 0
+
+
 def test_local_episode_range_single_process():
     import jax
 

@@ -98,3 +98,35 @@ def test_cached_decoder_matches_opencv(tmp_path):
     p.unlink()
     again = sub.read(str(p), [0, 23])
     np.testing.assert_array_equal(frames, again)
+
+
+def test_cached_decoder_invalidation_on_params_and_content(tmp_path):
+    """The disk cache must MISS when the cache parameters change or the
+    source file is re-encoded — regression for the round-2 md5(path)-only
+    key that silently served stale frame grids."""
+    import time
+
+    from clip_fsar_tpu.data.decode import CachedVideoDecoder
+
+    p = tmp_path / "clip.mp4"
+    _write_video(p, n_frames=24, fps=12.0)
+    cache = tmp_path / "cache"
+
+    d8 = CachedVideoDecoder(cache_dir=str(cache), max_frames=8)
+    d8.read(str(p), [0, 23])
+    assert len(list(cache.glob("*.npz"))) == 1
+
+    # same path, coarser->finer grid: a second cache entry, and the finer
+    # decoder really has 24 distinct frames (not 8 snapped ones)
+    d24 = CachedVideoDecoder(cache_dir=str(cache), max_frames=24)
+    frames = d24.read(str(p), list(range(24)))
+    assert len(list(cache.glob("*.npz"))) == 2
+    ids = [int(round(f[..., 0].mean() / 10.0)) for f in frames]
+    assert len(set(ids)) == 24
+
+    # re-encoded source at the same path: new entry again
+    time.sleep(1.1)  # mtime granularity
+    _write_video(p, n_frames=12, fps=12.0)
+    fresh = CachedVideoDecoder(cache_dir=str(cache), max_frames=8)
+    assert fresh.length(str(p)) == 12
+    assert len(list(cache.glob("*.npz"))) == 3

@@ -226,6 +226,42 @@ def test_cond_multi_steps_matches_optax_multisteps():
                 assert np.allclose(np.asarray(u_a[ka]), 0.0)
 
 
+def test_flat_optimizer_matches_tree_chain_under_accumulation():
+    """The FLAT_OPTIMIZER assembly must be semantically identical to the
+    tree-level chain when accumulation + clipping + decoupled decay are all
+    on: clipping applies to the window MEAN (not each micro-grad) and adamw
+    decay fires only on emitting steps.  Regression for the round-2 flat
+    path, which originally ran clip per micro-step and decay on every
+    micro-step (k-fold overdecay)."""
+    base = {
+        "SOLVER": {"OPTIM_METHOD": "adamw", "WEIGHT_DECAY": 0.05, "BASE_LR": 1.0, "MOMENTUM": 0.9, "NESTEROV": False},
+        "TRAIN": {"BATCH_SIZE_PER_TASK": 3, "CLIP_GRAD_NORM": 0.25},
+        "BN": {"WEIGHT_DECAY": 0.0},
+    }
+    params0 = {"dense": {"kernel": jnp.asarray([[0.5, -1.0], [2.0, 0.3]])}, "bias": jnp.asarray([0.1, -0.2])}
+    rng = np.random.RandomState(3)
+    grads = [
+        jax.tree_util.tree_map(lambda p: jnp.asarray(rng.randn(*p.shape) * 4.0, jnp.float32), params0)
+        for _ in range(7)
+    ]
+
+    trajs = []
+    for flat in (True, False):
+        cfg = Config({**base, "TPU": {"FLAT_OPTIMIZER": flat}})
+        params = params0
+        tx = build_optimizer(cfg, params)
+        st = tx.init(params)
+        for i, g in enumerate(grads):
+            u, st = tx.update(g, st, params)
+            if (i + 1) % 3 != 0:  # accumulation-only step: no update, no decay
+                assert all(np.allclose(np.asarray(x), 0.0) for x in jax.tree_util.tree_leaves(u))
+            params = optax.apply_updates(params, apply_lr(u, 0.1))
+        trajs.append(params)
+    a, b = (jax.tree_util.tree_leaves(t) for t in trajs)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-7)
+
+
 def test_train_step_updates_params_and_handles_nan():
     from clip_fsar_tpu.models.clip.model import ARCHS
     from clip_fsar_tpu.models.heads.clipfsar import CLIPFSARConfig, CLIPFSARHead
