@@ -327,3 +327,39 @@ def test_cnn_molo_parity(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(got[key]), want[key].numpy(), rtol=1e-3, atol=1e-3, err_msg=key
         )
+
+
+@pytest.mark.parametrize("threshold", [0.0, 0.345, 1.1])
+def test_cnn_hyrsm_plusplus_semi_parity(fake_encode, threshold):
+    """CNN_HyRSM_plusplus_semi (reference :2193-2390): the pseudo-label
+    branch appends confidently-classified unlabeled clips to the support
+    set before the prototype update.  Our static-shape weighted-mean
+    formulation must match the reference's dynamic concat at every
+    acceptance regime: all clips (threshold 0), a confidence-gated 2-of-4 subset (0.345 splits the ~0.337-0.356 confidences),
+    and none (threshold > 1)."""
+    U = 4
+    ref = _build_ref(
+        "CNN_HyRSM_plusplus_semi",
+        NUM_CLASS=11, HEAD=8, POSITION_A=10.0, POSITION_B=1.0, WINDOW_SIZE=2,
+        TEMPORAL_BALANCE=1.5, BALANCE_COEFFICIENT=0.7, USE_CLASSIFICATION=True,
+        SEMI_TEMPORAL=2.0, SEMI_THRESHOLD=threshold,
+    )
+    ep, task = _episode(26, shot=2)
+    rng = np.random.RandomState(260)
+    unl = rng.randn(U, T, RES, RES, 3).astype(np.float32)
+    task["target_set_weakly"] = torch.from_numpy(unl.transpose(0, 1, 4, 2, 3).reshape(U * T, 3, RES, RES))
+    ep = ep.replace(unlabeled_images=jnp.asarray(unl))
+    with torch.no_grad():
+        out = ref(task)
+        want, want_cls = out["logits"].numpy(), out["class_logits"].numpy()
+        want_reg = float(out["loss_temporal_regular"])
+
+    ours = fsheads_mod.CNNHyRSMPlusPlusSemiHead(
+        backbone_name="resnet50", way=WAY, num_frames=T, num_class=11, heads=8,
+        window_size=2, temporal_balance=1.5, balance_coefficient=0.7,
+        semi_temporal=2.0, semi_threshold=threshold, use_classification=True,
+    )
+    got = ours.apply({"params": _hyrsm_params(ref)}, ep, train=False)
+    np.testing.assert_allclose(np.asarray(got["logits"]), want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["class_logits"]), want_cls, rtol=1e-4, atol=1e-4)
+    assert abs(float(got["loss_temporal_regular"]) - want_reg) < 1e-4
