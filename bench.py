@@ -53,6 +53,9 @@ def main() -> int:
     p.add_argument("--profile", default="", help="write a jax.profiler trace to this dir")
     p.add_argument("--loader", action="store_true", help="benchmark the host episode pipeline instead of the device step")
     p.add_argument("--real", action="store_true", help="with --loader: real mp4 decode (+ frame cache) instead of the synthetic decoder")
+    p.add_argument("--way", type=int, default=5)
+    p.add_argument("--shot", type=int, default=1, help="support shots (5 = the BASELINE 5-shot protocol)")
+    p.add_argument("--qpc", type=int, default=5, help="queries per class")
     args = p.parse_args()
 
     if args.loader:
@@ -81,7 +84,7 @@ def main() -> int:
     from clip_fsar_tpu.train.optimizer import build_optimizer
     from clip_fsar_tpu.train.step import make_eval_step, make_train_step
 
-    ways, shot, qpc = 5, 1, 5
+    ways, shot, qpc = args.way, args.shot, args.qpc
     n_dev = len(jax.devices())
     # E=1/chip is the measured sweet spot for ViT-B/16 train: at E=2 the
     # packed-QKV residuals (~436 MB/layer) pressure HBM enough that XLA

@@ -101,7 +101,7 @@ def test_train_mode_logits_are_raw():
     x = jnp.ones((1, 4, 32, 32, 3))
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     logits, _ = model.apply(variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
-    s = float(np.asarray(logits).sum(-1))
+    s = float(np.asarray(logits).sum())
     assert abs(s - 1.0) > 1e-3 or logits.shape[-1] == 1  # not softmaxed at train
 
 
