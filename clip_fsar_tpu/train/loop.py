@@ -194,17 +194,23 @@ def train_few_shot(cfg) -> Dict[str, float]:
         episode_range=local_episode_range(e, mesh),
     ) as loader:
         cur_iter = start_iter
+        log_period = int(cfg.get("LOG_PERIOD", 10))
+        t_last, iters_last = time.perf_counter(), cur_iter
         for batch in loader:
-            t0 = time.perf_counter()
             lr = get_lr_at_epoch(cfg, epoch_for_iter(cfg, cur_iter))
             dropout_rng, step_rng = jax.random.split(dropout_rng)
             state, metrics = train_step(state, shard_batch(batch, mesh, global_e=e), jnp.float32(lr), step_rng)
             cur_iter += 1
 
-            if cur_iter % int(cfg.get("LOG_PERIOD", 10)) == 0 or cur_iter == num_train_tasks:
+            if cur_iter % log_period == 0 or cur_iter == num_train_tasks:
                 metrics = jax.device_get(metrics)  # sync point only when logging
                 loss_meter.add_value(float(metrics["loss"]))
-                t_meter.add_value(time.perf_counter() - t0)
+                # whole-window wall rate: steps are dispatched async, so a
+                # single iteration's wall time would count the queue drain
+                # of the sync above against one step and lie by ~LOG_PERIOD
+                now = time.perf_counter()
+                t_meter.add_value((now - t_last) / max(cur_iter - iters_last, 1))
+                t_last, iters_last = now, cur_iter
                 log_json_stats(
                     {
                         "_type": "train_iter",
@@ -230,6 +236,7 @@ def train_few_shot(cfg) -> Dict[str, float]:
                         cfg, model, jax.device_get(state).ema_variables(), mesh, num_val_tasks,
                         eval_step=interleaved_eval_step,
                     )
+                t_last, iters_last = time.perf_counter(), cur_iter  # exclude val/ckpt from the rate window
 
     final_state = jax.device_get(state)
     ckpt.save(max(num_train_tasks, 1), final_state)
