@@ -108,7 +108,7 @@ def evaluate(
     src = cfg.TEST if split != "train" else cfg.TRAIN
     class_names = list(src.get("CLASS_NAME", []) or [])
     per_class_acc = {
-        class_names[k] if k < len(class_names) else str(k): round(v[0] / max(v[1], 1) * 100.0, 2)
+        class_names[k] if k < len(class_names) else str(k): round(float(v[0]) / max(float(v[1]), 1.0) * 100.0, 2)
         for k, v in sorted(per_class.items())
     }
     log_json_stats({"_type": f"eval_{split}", **stats}, logger)
