@@ -41,9 +41,44 @@ class Checkpointer:
         step = step if step is not None else self.latest_step()
         if step is None:
             return None
-        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(jax.device_get(state_template)))
+        try:
+            restored = self._mgr.restore(step, args=ocp.args.StandardRestore(jax.device_get(state_template)))
+        except ValueError as e:
+            # Non-strict fallback (capability of the reference's
+            # strict=False load with mismatch logging, checkpoint.py:
+            # 329-331): an on-disk optimizer state from a DIFFERENT
+            # optimizer configuration (changed accumulation, method, or
+            # layout) cannot feed the current transformation anyway, so
+            # restore the model fields and keep the template's freshly
+            # initialized opt_state instead of failing the resume.
+            restored = self._restore_model_fields(state_template, step, e)
         logger.info("Restored checkpoint from step %d", step)
         return restored
+
+    def _restore_model_fields(self, state_template: Any, step: int, cause: Exception) -> Any:
+        import dataclasses
+
+        raw = self._mgr.restore(step)  # structure-free load (nested dicts)
+        if not isinstance(raw, dict) or "params" not in raw:
+            raise cause
+        template = jax.device_get(state_template)
+        t_struct = jax.tree_util.tree_structure(template.params)
+        r_struct = jax.tree_util.tree_structure(raw["params"])
+        if t_struct != r_struct:  # params themselves differ — a real mismatch
+            raise cause
+        fields = {}
+        for f in dataclasses.fields(template):
+            if f.name == "opt_state" or raw.get(f.name) is None:
+                fields[f.name] = getattr(template, f.name)
+            else:
+                fields[f.name] = raw[f.name]
+        logger.warning(
+            "Checkpoint step %d has an optimizer-state layout that does not match "
+            "the current optimizer configuration — restored params/model fields "
+            "non-strictly and reinitialized the optimizer state (%s)",
+            step, type(cause).__name__,
+        )
+        return dataclasses.replace(template, **fields)
 
     def close(self) -> None:
         self._mgr.close()

@@ -328,3 +328,33 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == 7
     np.testing.assert_allclose(np.asarray(restored.params["w"]), np.arange(4.0))
     ck.close()
+
+
+def test_checkpoint_restore_survives_optimizer_layout_change(tmp_path):
+    """Resume after the optimizer configuration changed (e.g. different
+    accumulation wrapping): params/step restore non-strictly and the
+    template's fresh opt_state is kept — capability of the reference's
+    strict=False load with mismatch logging (checkpoint.py:329-331).
+    A params mismatch must still raise."""
+    from clip_fsar_tpu.train.checkpoint import Checkpointer
+    from clip_fsar_tpu.train.state import TrainState
+
+    state = TrainState(step=jnp.asarray(9, jnp.int32), params={"w": jnp.arange(4.0)},
+                       opt_state={"m": jnp.zeros(4)})
+    ck = Checkpointer(str(tmp_path))
+    ck.save(9, state)
+
+    # opt_state is now a TUPLE of stages (layout change) -> fallback path
+    fresh_opt = ({"acc": jnp.ones(4)}, {"m": jnp.full(4, 5.0)})
+    template = TrainState(step=jnp.asarray(0, jnp.int32), params={"w": jnp.zeros(4)}, opt_state=fresh_opt)
+    restored = ck.restore(template)
+    assert int(restored.step) == 9
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), np.arange(4.0))
+    np.testing.assert_allclose(np.asarray(restored.opt_state[1]["m"]), 5.0)  # template's fresh opt
+
+    # params structure mismatch is a REAL error, not silently skipped
+    bad = TrainState(step=jnp.asarray(0, jnp.int32), params={"w": jnp.zeros(4), "extra": jnp.zeros(2)},
+                     opt_state=fresh_opt)
+    with pytest.raises(ValueError):
+        ck.restore(bad)
+    ck.close()
