@@ -71,7 +71,12 @@ def evaluate(
             make_eval_step(model.head, cfg, model.text_train, model.text_test),
             out_shardings=replicated(mesh),
         )
-    e = episodes_per_step or int(cfg.TPU.get("EPISODES_PER_STEP", 1))
+    # eval has no backward residuals, so it wants a LARGER episode batch
+    # than training (E=8 measured 13.9 eps/s vs 10.9 at E=1 on ViT-B/16,
+    # PERFORMANCE.md) — TPU.EVAL_EPISODES_PER_STEP overrides when set
+    e = episodes_per_step or int(
+        cfg.TPU.get("EVAL_EPISODES_PER_STEP", 0) or cfg.TPU.get("EPISODES_PER_STEP", 1)
+    )
     e = round_to_data_mesh(e, mesh)
     check_batch_divisible(e, mesh)
     # exactly num_tasks episodes are counted (reference cuts the loop at
@@ -85,25 +90,39 @@ def evaluate(
     episodes_left = num_tasks
     per_class = collections.defaultdict(lambda: [0, 0])  # real label -> [correct, total]
     ep_range = local_episode_range(e, mesh)
+
+    def consume(out_arrays):
+        nonlocal top1, top5, count, loss_sum, episodes_left
+        take = min(e, episodes_left)
+        episodes_left -= take
+        top1 += out_arrays["top1_correct"][:take].sum()
+        top5 += out_arrays["top5_correct"][:take].sum()
+        count += out_arrays["count"][:take].sum()
+        loss_sum += float(out_arrays["loss"][:take].mean())
+        for real, corr in zip(out_arrays["real_labels"][:take].reshape(-1), out_arrays["correct"][:take].reshape(-1)):
+            per_class[int(real)][0] += corr
+            per_class[int(real)][1] += 1
+        return out_arrays
+
+    out = None
+    pending = None
     with build_few_shot_loader(
         cfg, split, num_steps=num_steps, episodes_per_step=e, episode_range=ep_range
     ) as loader:
         for batch in loader:
-            out = jax.device_get(eval_step(variables, shard_batch(batch, mesh, global_e=e)))
-            take = min(e, episodes_left)
-            episodes_left -= take
-            top1 += out["top1_correct"][:take].sum()
-            top5 += out["top5_correct"][:take].sum()
-            count += out["count"][:take].sum()
-            loss_sum += float(out["loss"][:take].mean())
-            for real, corr in zip(out["real_labels"][:take].reshape(-1), out["correct"][:take].reshape(-1)):
-                per_class[int(real)][0] += corr
-                per_class[int(real)][1] += 1
+            # dispatch step N before fetching step N-1: host-side metric
+            # accounting overlaps the device's next batch
+            fut = eval_step(variables, shard_batch(batch, mesh, global_e=e))
+            if pending is not None:
+                out = consume(jax.device_get(pending))
+            pending = fut
+        if pending is not None:
+            out = consume(jax.device_get(pending))
     stats = {
         "top1_acc": float(top1) / max(count, 1) * 100.0,
         "top5_acc": float(top5) / max(count, 1) * 100.0,
         "loss": loss_sum / max(num_steps, 1),
-        "episodes": int(count / max(out["count"][0], 1)) if num_steps else 0,
+        "episodes": int(count / max(out["count"][0], 1)) if out is not None else 0,
     }
     src = cfg.TEST if split != "train" else cfg.TRAIN
     class_names = list(src.get("CLASS_NAME", []) or [])
