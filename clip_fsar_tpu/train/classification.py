@@ -374,10 +374,14 @@ def test(cfg) -> Dict[str, float]:
             num_cls=cfg.VIDEO.HEAD.NUM_CLASSES,
             ensemble_method=str(cfg.DATA.get("ENSEMBLE_METHOD", "sum")),
         )
+        pending = None  # dispatch batch N before fetching N-1: meter work overlaps device compute
         for videos, labels, clip_ids in loader:
-            pv, pn = (np.asarray(o) for o in jax.device_get(eval_step(variables, jax.device_put(videos, sh))))
-            valid = clip_ids >= 0
-            meter.update_stats(pv[valid], pn[valid], labels[valid, 0], labels[valid, 1], clip_ids[valid])
+            fut = eval_step(variables, jax.device_put(videos, sh))
+            if pending is not None:
+                _drain_epic(meter, *pending)
+            pending = (fut, labels, clip_ids)
+        if pending is not None:
+            _drain_epic(meter, *pending)
         return meter.finalize_metrics()
 
     from clip_fsar_tpu.utils.visualization import save_feature_maps, visualization_enabled
@@ -391,8 +395,10 @@ def test(cfg) -> Dict[str, float]:
         ensemble_method=str(cfg.DATA.get("ENSEMBLE_METHOD", "sum")),
     )
     viz_id = 0
-    for videos, labels, clip_ids in loader:
-        out = jax.device_get(eval_step(variables, jax.device_put(videos, sh)))
+
+    def drain(fut, labels, clip_ids):
+        nonlocal viz_id
+        out = jax.device_get(fut)
         if viz:
             preds, inter = np.asarray(out[0]), out[1]
             viz_id += save_feature_maps(inter, cfg, start_id=viz_id, valid=clip_ids >= 0)
@@ -400,7 +406,22 @@ def test(cfg) -> Dict[str, float]:
             preds = np.asarray(out)
         valid = clip_ids >= 0
         meter.update_stats(preds[valid], labels[valid], clip_ids[valid])
+
+    pending = None  # dispatch batch N before fetching N-1
+    for videos, labels, clip_ids in loader:
+        fut = eval_step(variables, jax.device_put(videos, sh))
+        if pending is not None:
+            drain(*pending)
+        pending = (fut, labels, clip_ids)
+    if pending is not None:
+        drain(*pending)
     return meter.finalize_metrics()
+
+
+def _drain_epic(meter, fut, labels, clip_ids):
+    pv, pn = (np.asarray(o) for o in jax.device_get(fut))
+    valid = clip_ids >= 0
+    meter.update_stats(pv[valid], pn[valid], labels[valid, 0], labels[valid, 1], clip_ids[valid])
 
 
 def submission_test(cfg) -> Dict[str, float]:
