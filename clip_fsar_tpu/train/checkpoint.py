@@ -56,27 +56,45 @@ class Checkpointer:
         return restored
 
     def _restore_model_fields(self, state_template: Any, step: int, cause: Exception) -> Any:
+        """Per-field graft: each state field is taken from the checkpoint
+        only when BOTH sides have it and the tree structures agree;
+        fields the current config disables (template None) stay disabled,
+        and only the fields that actually mismatch are reinitialized and
+        named in the warning.  A params mismatch is never skippable."""
         import dataclasses
 
         raw = self._mgr.restore(step)  # structure-free load (nested dicts)
         if not isinstance(raw, dict) or "params" not in raw:
             raise cause
         template = jax.device_get(state_template)
-        t_struct = jax.tree_util.tree_structure(template.params)
-        r_struct = jax.tree_util.tree_structure(raw["params"])
-        if t_struct != r_struct:  # params themselves differ — a real mismatch
-            raise cause
-        fields = {}
+
+        def structures_match(t, r):
+            if jax.tree_util.tree_structure(t) != jax.tree_util.tree_structure(r):
+                return False
+            return all(
+                getattr(a, "shape", None) == getattr(b, "shape", None)
+                for a, b in zip(jax.tree_util.tree_leaves(t), jax.tree_util.tree_leaves(r))
+            )
+
+        if not structures_match(template.params, raw["params"]):
+            raise cause  # model itself differs — a real mismatch
+        fields, kept = {}, []
         for f in dataclasses.fields(template):
-            if f.name == "opt_state" or raw.get(f.name) is None:
-                fields[f.name] = getattr(template, f.name)
+            t, r = getattr(template, f.name), raw.get(f.name)
+            if t is None or r is None:
+                fields[f.name] = t  # field disabled/absent on one side: keep the config's choice
+                if (t is None) != (r is None):
+                    kept.append(f.name)
+            elif structures_match(t, r):
+                fields[f.name] = r
             else:
-                fields[f.name] = raw[f.name]
+                fields[f.name] = t
+                kept.append(f.name)
         logger.warning(
-            "Checkpoint step %d has an optimizer-state layout that does not match "
-            "the current optimizer configuration — restored params/model fields "
-            "non-strictly and reinitialized the optimizer state (%s)",
-            step, type(cause).__name__,
+            "Checkpoint step %d does not match the current run configuration in "
+            "field(s) %s — those were reinitialized from the template; all other "
+            "fields restored (%s)",
+            step, kept, type(cause).__name__,
         )
         return dataclasses.replace(template, **fields)
 

@@ -358,3 +358,40 @@ def test_checkpoint_restore_survives_optimizer_layout_change(tmp_path):
     with pytest.raises(ValueError):
         ck.restore(bad)
     ck.close()
+
+
+def test_checkpoint_restore_per_field_graft(tmp_path):
+    """The non-strict path grafts per FIELD: fields whose structure+shape
+    match the checkpoint are restored even when another field mismatches;
+    a field the current config disables (template None) stays disabled;
+    and a params SHAPE change (same tree, different leaf shape) is a real
+    mismatch that must raise rather than load garbage."""
+    from clip_fsar_tpu.train.checkpoint import Checkpointer
+    from clip_fsar_tpu.train.state import TrainState
+
+    state = TrainState(step=jnp.asarray(3, jnp.int32), params={"w": jnp.arange(4.0)},
+                       opt_state={"m": jnp.zeros(4)}, ema_params={"w": jnp.full(4, 7.0)})
+    ck = Checkpointer(str(tmp_path))
+    ck.save(3, state)
+
+    # opt layout changed AND this run disables EMA: params/step still restore,
+    # ema stays off (template None wins over the checkpoint's ema).
+    template = TrainState(step=jnp.asarray(0, jnp.int32), params={"w": jnp.zeros(4)},
+                          opt_state=({"acc": jnp.ones(4)},), ema_params=None)
+    restored = ck.restore(template)
+    assert int(restored.step) == 3
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), np.arange(4.0))
+    assert restored.ema_params is None
+
+    # opt layout changed + EMA newly ENABLED: matching params restore, fresh ema kept.
+    template2 = TrainState(step=jnp.asarray(0, jnp.int32), params={"w": jnp.zeros(4)},
+                           opt_state=({"acc": jnp.ones(4)},), ema_params={"w": jnp.zeros(4)})
+    restored2 = ck.restore(template2)
+    np.testing.assert_allclose(np.asarray(restored2.ema_params["w"]), 7.0)  # same tree -> restored
+
+    # params leaf SHAPE change (same tree structure) is a real mismatch.
+    bad = TrainState(step=jnp.asarray(0, jnp.int32), params={"w": jnp.zeros(8)},
+                     opt_state=({"acc": jnp.ones(4)},), ema_params=None)
+    with pytest.raises(ValueError):
+        ck.restore(bad)
+    ck.close()
