@@ -289,13 +289,51 @@ def _vit_gflops_per_frame(backbone: str, res: int):
     from clip_fsar_tpu.models.clip.model import ARCHS
 
     arch = ARCHS.get(backbone)
-    if arch is None or not arch.is_vit:
+    if arch is None:
         return None
+    if not arch.is_vit:
+        return _resnet_gflops_per_frame(arch, res)
     w, l, p = arch.vision_width, arch.vision_layers, arch.vision_patch_size
     n = (res // p) ** 2 + 1
     per_layer = 8 * n * w * w + 16 * n * w * w + 4 * n * n * w  # qkv+out, mlp(4x), attn
     patch = 2 * (n - 1) * w * 3 * p * p
     return (l * per_layer + patch) / 1e9
+
+
+def _resnet_gflops_per_frame(arch, res: int):
+    """Analytic useful GFLOP per frame forward for a CLIP ModifiedResNet
+    tower (models/clip/model.py:492-534; mirrors reference few_shot.py
+    542-602): 3-conv stem, anti-aliased bottleneck stages, attention pool.
+    Validated against XLA cost analysis in tests/test_bench_flops.py."""
+    w = arch.vision_width
+    layers = arch.vision_layers  # e.g. (3, 4, 6, 3) for RN50
+    flops = 0
+    # stem: conv1 3x3 s2 (3->w/2), conv2/conv3 3x3 s1 at res/2, then 2x2 avgpool
+    n = res // 2
+    flops += 2 * n * n * (w // 2) * 3 * 9
+    flops += 2 * n * n * (w // 2) * (w // 2) * 9
+    flops += 2 * n * n * w * (w // 2) * 9
+    n = n // 2
+    inplanes = w
+    for blocks, planes, stride in zip(layers, (w, w * 2, w * 4, w * 8), (1, 2, 2, 2)):
+        for i in range(blocks):
+            s = stride if i == 0 else 1
+            m = n // s  # conv1/conv2 run at n, avgpool to m, conv3 at m
+            flops += 2 * n * n * planes * inplanes  # conv1 1x1
+            flops += 2 * n * n * planes * planes * 9  # conv2 3x3
+            flops += 2 * m * m * planes * 4 * planes  # conv3 1x1
+            if s > 1 or inplanes != planes * 4:
+                flops += 2 * m * m * planes * 4 * inplanes  # downsample 1x1
+            inplanes = planes * 4
+            n = m
+    # attention pool: N = (res/32)^2 + 1 tokens, embed E = w*32, out D
+    ntok = (res // 32) ** 2 + 1
+    e, d = w * 32, arch.embed_dim
+    flops += 2 * ntok * e * e * 2  # k, v projections over all tokens
+    flops += 2 * 1 * e * e  # q projection (pooled token only)
+    flops += 2 * 2 * ntok * e  # qk^T + att@v for the single query
+    flops += 2 * 1 * e * d  # c_proj
+    return flops / 1e9
 
 
 def _make_real_videos(root: str, num_videos: int = 40, frames: int = 72, size=(240, 180)) -> None:
