@@ -19,7 +19,7 @@ TPU-first design choices (not a port):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple, Union
+from typing import Any, Optional, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -399,25 +399,68 @@ class VisionTransformer(nn.Module):
         return x @ proj.astype(self.dtype)
 
 
+class _BNState(nn.Module):
+    """Owns BatchNorm's {scale, bias} params and {mean, var} batch_stats
+    under the same child-scope name flax's nn.BatchNorm would have used,
+    so checkpoints and the OpenAI converter are untouched."""
+
+    scale_init: Any = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, c: int):
+        g = self.param("scale", self.scale_init, (c,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        return g, b, mean, var
+
+
 class BatchNorm(nn.Module):
-    """BatchNorm in fp32 (activations cast in/out).  The attribute sets the
-    default mode; the call-time argument overrides it (train/eval share one
-    module instance, so BN mode must be decidable per call)."""
+    """BatchNorm with fp32 statistics and running stats, applied as one
+    folded per-channel affine in the activation dtype.
+
+    Same fused-stat rationale as LayerNorm above: the previous
+    ``nn.BatchNorm(dtype=fp32)`` on a cast input materialized an fp32 copy
+    of every activation map (shared by the stats reduction and the
+    normalize) plus a cast-back — pure HBM traffic on the ~53 BNs of an
+    RN50 tower.  Here the bf16->fp32 converts fuse into the fp32-accumulated
+    reductions, and the apply is ``x * a + b`` with per-channel fp32
+    ``a = g*rsqrt(var+eps)``, ``b = beta - mean*a`` — one elementwise
+    fusion that XLA folds into the neighboring relu/conv pipeline.
+    Matches flax nn.BatchNorm semantics (momentum 0.9 i.e. torch 0.1,
+    eps 1e-5, biased batch var in both the normalize and the running
+    update, use_fast_variance math).  Reference BN usage:
+    few_shot.py:542-602 (ModifiedResNet, fp32 throughout).
+
+    The attribute sets the default mode; the call-time argument overrides
+    it (train/eval share one module instance, so BN mode must be decidable
+    per call)."""
 
     use_running_average: bool = True
+    epsilon: float = 1e-5
+    momentum: float = 0.9
+    scale_init: Any = nn.initializers.ones
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, use_running_average: Optional[bool] = None) -> jnp.ndarray:
         ura = self.use_running_average if use_running_average is None else use_running_average
-        orig = x.dtype
-        y = nn.BatchNorm(
-            use_running_average=ura,
-            momentum=0.9,  # torch momentum=0.1: new = 0.9*old + 0.1*batch
-            epsilon=1e-5,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return y.astype(orig)
+        c = x.shape[-1]
+        g, b, ra_mean, ra_var = _BNState(scale_init=self.scale_init, name="BatchNorm_0")(c)
+        if ura:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=axes, dtype=jnp.float32)
+            m2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=axes)
+            var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1.0 - self.momentum) * var
+        scale = g * jax.lax.rsqrt(var + self.epsilon)
+        shift = b - mean * scale
+        # fp32 math inside one elementwise fusion (converts fuse; no fp32
+        # copy of x is materialized), output back in the activation dtype
+        return (x.astype(jnp.float32) * scale + shift).astype(x.dtype)
 
 
 class Bottleneck(nn.Module):
