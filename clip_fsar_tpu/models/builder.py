@@ -133,6 +133,27 @@ def _adapt_vision_resolution(cfg, arch, flow: str = "auto"):
     return dataclasses.replace(arch, image_resolution=crop)
 
 
+def _adapt_vision_depth(cfg, arch):
+    """TPU.VISION_DEPTH / TPU.TEXT_DEPTH > 0 truncate a random-init CLIP
+    tower to that many REAL blocks (width/heads unchanged, per-layer
+    numerics identical).  The multi-chip CPU dryrun uses these to bound
+    1-core compile time (VERDICT r2 item 1): flax init unrolls every layer
+    even in scan mode, so init compile scales with depth."""
+    import dataclasses
+
+    if "TPU" not in cfg:
+        return arch
+    vdepth = int(cfg.TPU.get("VISION_DEPTH", 0) or 0)
+    if vdepth and arch.is_vit and vdepth != arch.vision_layers:
+        logger.info("CLIP vision tower truncated to %d/%d blocks (TPU.VISION_DEPTH)", vdepth, arch.vision_layers)
+        arch = dataclasses.replace(arch, vision_layers=vdepth)
+    tdepth = int(cfg.TPU.get("TEXT_DEPTH", 0) or 0)
+    if tdepth and tdepth != arch.transformer_layers:
+        logger.info("CLIP text tower truncated to %d/%d blocks (TPU.TEXT_DEPTH)", tdepth, arch.transformer_layers)
+        arch = dataclasses.replace(arch, transformer_layers=tdepth)
+    return arch
+
+
 def load_or_init_clip(cfg, rng, flow: str = "auto") -> tuple:
     """Returns (arch, clip_variables).  Loads OpenAI weights when present,
     otherwise random-initializes (tests / synthetic benchmarking)."""
@@ -149,7 +170,7 @@ def load_or_init_clip(cfg, rng, flow: str = "auto") -> tuple:
         return resized, variables
     if backbone_name not in ARCHS:
         raise KeyError(f"Unknown backbone {backbone_name!r}; known: {sorted(ARCHS)}")
-    arch = _adapt_vision_resolution(cfg, ARCHS[backbone_name], flow)
+    arch = _adapt_vision_depth(cfg, _adapt_vision_resolution(cfg, ARCHS[backbone_name], flow))
     logger.info("No CLIP checkpoint found for %s — random init", backbone_name)
     model = CLIP(arch=arch)
     imgs = jnp.zeros((1, arch.image_resolution, arch.image_resolution, 3), jnp.float32)
