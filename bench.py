@@ -49,6 +49,7 @@ def main() -> int:
     p.add_argument("--dtype", default="", choices=["", "bfloat16", "float32"])
     p.add_argument("--softmax-dtype", default="", choices=["", "bfloat16", "float32"])
     p.add_argument("--scan-layers", action="store_true", help="lax.scan over transformer depth")
+    p.add_argument("--bn-freeze", action="store_true", help="BN.FREEZE: run BatchNorm on running stats (diagnostic: isolates the BN-statistics bandwidth tax on RN towers)")
     p.add_argument("--frame-chunks", type=int, default=0, help="sequential rematted tower chunks (TPU.FRAME_CHUNKS)")
     p.add_argument("--profile", default="", help="write a jax.profiler trace to this dir")
     p.add_argument("--loader", action="store_true", help="benchmark the host episode pipeline instead of the device step")
@@ -115,6 +116,8 @@ def main() -> int:
         cfg.TPU.SOFTMAX_DTYPE = args.softmax_dtype
     if args.scan_layers:
         cfg.TPU.SCAN_LAYERS = True
+    if args.bn_freeze:
+        cfg.BN.FREEZE = True
     if args.frame_chunks:
         cfg.TPU.FRAME_CHUNKS = args.frame_chunks
     mesh = build_mesh(cfg)
@@ -233,7 +236,7 @@ def main() -> int:
     # mfu_useful = analytic useful FLOPs (fwd+2x bwd, no remat recompute).
     mfu = None
     mfu_useful = None
-    gfpf = _vit_gflops_per_frame(args.backbone, args.res)
+    gfpf = _tower_gflops_per_frame(args.backbone, args.res)
     if gfpf:
         useful_tflops = frames_per_sec * gfpf * 1e9 * (1.0 if args.eval else 3.0) / 1e12
         mfu_useful = round(useful_tflops / 197.0 / n_dev, 4)
@@ -280,12 +283,13 @@ def main() -> int:
     return 0
 
 
-def _vit_gflops_per_frame(backbone: str, res: int):
-    """Analytic useful GFLOP per frame forward for a ViT CLIP tower at the
-    given crop (2 FLOP per MAC — the published per-model "GFLOPs" numbers
-    count MACs; see PERFORMANCE.md "Corrected roofline").  None for
-    non-ViT backbones.  Used for mfu_useful because the HLO cost analysis
-    undercounts scan-over-layers graphs (loop bodies counted once)."""
+def _tower_gflops_per_frame(backbone: str, res: int):
+    """Analytic useful GFLOP per frame forward for a CLIP vision tower at
+    the given crop (2 FLOP per MAC — the published per-model "GFLOPs"
+    numbers count MACs; see PERFORMANCE.md "Corrected roofline").  Covers
+    ViT and ModifiedResNet towers (None for unknown backbones).  Used for
+    mfu_useful because the HLO cost analysis undercounts scan-over-layers
+    graphs (loop bodies counted once)."""
     from clip_fsar_tpu.models.clip.model import ARCHS
 
     arch = ARCHS.get(backbone)

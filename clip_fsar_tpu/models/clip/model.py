@@ -19,7 +19,7 @@ TPU-first design choices (not a port):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -404,11 +404,9 @@ class _BNState(nn.Module):
     under the same child-scope name flax's nn.BatchNorm would have used,
     so checkpoints and the OpenAI converter are untouched."""
 
-    scale_init: Any = nn.initializers.ones
-
     @nn.compact
     def __call__(self, c: int):
-        g = self.param("scale", self.scale_init, (c,), jnp.float32)
+        g = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
         var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
@@ -439,13 +437,12 @@ class BatchNorm(nn.Module):
     use_running_average: bool = True
     epsilon: float = 1e-5
     momentum: float = 0.9
-    scale_init: Any = nn.initializers.ones
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, use_running_average: Optional[bool] = None) -> jnp.ndarray:
         ura = self.use_running_average if use_running_average is None else use_running_average
         c = x.shape[-1]
-        g, b, ra_mean, ra_var = _BNState(scale_init=self.scale_init, name="BatchNorm_0")(c)
+        g, b, ra_mean, ra_var = _BNState(name="BatchNorm_0")(c)
         if ura:
             mean, var = ra_mean.value, ra_var.value
         else:

@@ -8,15 +8,16 @@ Reference cost model being matched: 2 FLOP per MAC over the vision tower
 of /root/reference/models/base/few_shot.py (ViT 654-688, ModifiedResNet
 542-602)."""
 
+import os
 import sys
 
 import jax
 import jax.numpy as jnp
 import pytest
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _vit_gflops_per_frame  # noqa: E402
+from bench import _tower_gflops_per_frame  # noqa: E402
 from clip_fsar_tpu.models.clip.model import ARCHS, ModifiedResNet, VisionTransformer  # noqa: E402
 from clip_fsar_tpu.utils.misc import compiled_stats  # noqa: E402
 
@@ -41,7 +42,7 @@ def test_resnet_analytic_flops_match_hlo(name):
         input_resolution=res,
         width=arch.vision_width,
     )
-    analytic = _vit_gflops_per_frame(name, res)
+    analytic = _tower_gflops_per_frame(name, res)
     assert analytic is not None
     hlo = _hlo_gflops(tower, res)
     # The analytic count covers convs + attnpool matmuls; HLO adds BN/relu
@@ -61,7 +62,7 @@ def test_vit_analytic_flops_match_hlo():
         heads=arch.vision_heads,
         output_dim=arch.embed_dim,
     )
-    analytic = _vit_gflops_per_frame("ViT-Tiny-Test", res)
+    analytic = _tower_gflops_per_frame("ViT-Tiny-Test", res)
     hlo = _hlo_gflops(tower, res)
     assert hlo <= analytic * 1.25  # tiny towers: projections the formula rounds over
     assert analytic <= hlo * 1.25
