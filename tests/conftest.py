@@ -26,6 +26,31 @@ def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running end-to-end drives")
 
 
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: `pytest -m "not slow"` is the <5-minute signal on a
+    1-core VM; the full suite is ~45 min.  Slow tests carry the marker
+    either explicitly (@pytest.mark.slow on e2e/CLI/multihost drives) or
+    via tests/slow_tests.txt — the measured >=4 s-per-call manifest,
+    regenerated with:  pytest tests -q --durations=0  (see README)."""
+    manifest_path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    if not os.path.exists(manifest_path):
+        return
+    with open(manifest_path) as f:
+        manifest = {line.strip() for line in f if line.strip() and not line.startswith("#")}
+    matched = set()
+    for item in items:
+        # nodeid relative to tests/: "test_x.py::test_y[param]"
+        nodeid = item.nodeid.split("/")[-1]
+        if nodeid in manifest:
+            item.add_marker(pytest.mark.slow)
+            matched.add(nodeid)
+    stale = manifest - matched
+    if stale and not config.option.keyword and not config.option.markexpr:
+        import warnings
+
+        warnings.warn(f"slow_tests.txt entries matched no collected test: {sorted(stale)[:5]}...")
+
+
 @pytest.fixture(scope="session")
 def rng():
     import jax
