@@ -57,10 +57,24 @@ def main() -> int:
     p.add_argument("--way", type=int, default=5)
     p.add_argument("--shot", type=int, default=1, help="support shots (5 = the BASELINE 5-shot protocol)")
     p.add_argument("--qpc", type=int, default=5, help="queries per class")
+    p.add_argument(
+        "--no-rn50",
+        action="store_true",
+        help="skip the RN50 sub-measurements the default run embeds in detail.rn50 "
+        "(RN50 is the reference YAMLs' default backbone; VERDICT r2 item 3)",
+    )
     args = p.parse_args()
 
     if args.loader:
         return bench_loader(args)
+
+    # The axon tunnel can wedge a device RPC indefinitely (observed: a
+    # bench identical to one that just ran in ~3 min sat blocked for 25
+    # with ~0 CPU).  The unattended driver bench must always land a line,
+    # so run the measurement in a child with a hard timeout and one retry
+    # (the retry drops the RN50 extras to stay cheap).
+    if os.environ.get("CLIP_FSAR_BENCH_SUPERVISED") != "1" and not args.quick:
+        return _supervised()
 
     if args.quick:
         # force CPU even when the shell pins JAX_PLATFORMS to the TPU
@@ -77,6 +91,37 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    t_start = time.perf_counter()
+    watch = {"t": t_start, "deadline": 300.0}
+
+    def _mark(msg, deadline=300.0):
+        # stderr progress marks: the axon tunnel can wedge single device
+        # RPCs for tens of minutes — these make a wedge attributable and
+        # arm the watchdog below with a per-phase deadline
+        watch["t"] = time.perf_counter()
+        watch["deadline"] = deadline
+        sys.stderr.write(f"bench[{watch['t'] - t_start:6.1f}s] {msg}\n")
+        sys.stderr.flush()
+
+    if not args.quick:
+        # a wedged tunnel RPC blocks with ~0 CPU and never returns; exit
+        # fast so the supervisor's retry recovers in minutes, not the
+        # outer timeout
+        import threading
+
+        def _watchdog():
+            while True:
+                time.sleep(10)
+                if time.perf_counter() - watch["t"] > watch["deadline"]:
+                    sys.stderr.write(
+                        f"bench watchdog: no progress for {watch['deadline']:.0f}s — "
+                        "assuming a wedged device RPC, exiting for retry\n"
+                    )
+                    sys.stderr.flush()
+                    os._exit(57)
+
+        threading.Thread(target=_watchdog, daemon=True).start()
 
     from __graft_entry__ import _cfg, _dummy_episode
     from clip_fsar_tpu.models.builder import build_few_shot_model
@@ -122,7 +167,9 @@ def main() -> int:
         cfg.TPU.FRAME_CHUNKS = args.frame_chunks
     mesh = build_mesh(cfg)
 
+    _mark("building model")
     model = build_few_shot_model(cfg, jax.random.PRNGKey(0))
+    _mark("model built")
     tx = build_optimizer(cfg, model.variables["params"], name_prefix="head")
     state = replicate(build_state(cfg, model, tx), mesh)
 
@@ -135,6 +182,7 @@ def main() -> int:
         target_images=(batch.target_images * 255).astype(np.uint8),
     )
     batch = shard_batch(batch, mesh)
+    _mark("batch on device")
 
     frames_per_episode = (ways * shot + ways * qpc) * args.frames
 
@@ -177,7 +225,9 @@ def main() -> int:
     # warmup (compile); fall back to fewer episodes per step on OOM so the
     # unattended end-of-round bench always produces a number
     try:
+        _mark("warmup compile+run", deadline=900.0)
         run_once()
+        _mark("warmup done")
     except Exception as e:
         oom = "RESOURCE_EXHAUSTED" in str(e) or "Ran out of memory" in str(e) or "ResourceExhausted" in str(e)
         # EFFECTIVE remat (the builder resolves "auto" per tower depth) —
@@ -219,11 +269,13 @@ def main() -> int:
     if args.profile:
         with jax.profiler.trace(args.profile):
             run_once()
+    _mark("timing loop", deadline=600.0)
     t0 = time.perf_counter()
     for _ in range(args.steps - 1):
         run_once(block=False)
     run_once(block=True)  # fence; train steps chain through donated state
     dt = time.perf_counter() - t0
+    _mark(f"timing done ({dt:.2f}s)")
 
     eps_per_sec = episodes * args.steps / dt
     eps_per_sec_per_chip = eps_per_sec / n_dev
@@ -259,6 +311,17 @@ def main() -> int:
     except Exception:
         pass
 
+    # The shipped YAMLs default to the RN50 tower (reference
+    # CLIPFSAR_HMDB51_1shot_v1.yaml:79), so the driver-run default bench
+    # also reports it: run train+eval RN50 sub-benches in subprocesses
+    # (fresh jit caches, same measurement path) and fold their numbers
+    # into detail.rn50 — output stays ONE JSON line.
+    rn50 = None
+    if args.backbone == "ViT-B/16" and not (args.eval or args.quick or args.no_rn50):
+        _mark("rn50 sub-benches", deadline=2000.0)
+        rn50 = _rn50_detail(args.steps)
+        _mark("rn50 done")
+
     mode = "eval" if args.eval else "train"
     metric = f"clipfsar_{args.backbone.replace('/', '')}_{mode}_episodes_per_sec_per_chip"
     result = {
@@ -279,8 +342,61 @@ def main() -> int:
             "baseline_note": f"analytic A100 eager-fp32 reference {BASELINE_EPS_PER_SEC} eps/s (BASELINE.md derivation: TF32 156 TFLOP/s x 30-40% / 25.3 TFLOP/episode)",
         },
     }
+    if rn50:
+        result["detail"]["rn50"] = rn50
     print(json.dumps(result))
     return 0
+
+
+def _supervised() -> int:
+    """Run the bench in a child process with a hard timeout + one retry.
+
+    Attempt 1 runs argv as given; on a timeout/watchdog exit (tunnel
+    stall) or failure, attempts 2-3 add --no-rn50 so the retries only pay
+    for the headline measurement.  The in-child watchdog (os._exit(57) on
+    a stalled phase) makes a failed attempt cost minutes, not the 1500 s
+    outer timeout.  Only JSON lines from the child reach stdout."""
+    import subprocess
+
+    env = dict(os.environ, CLIP_FSAR_BENCH_SUPERVISED="1")
+    base = [sys.executable, os.path.abspath(__file__)] + sys.argv[1:]
+    for attempt, argv, t_lim in ((1, base, 2700), (2, base + ["--no-rn50"], 900), (3, base + ["--no-rn50"], 900)):
+        try:
+            proc = subprocess.run(argv, env=env, timeout=t_lim, stdout=subprocess.PIPE, text=True)
+            lines = [l for l in proc.stdout.splitlines() if l.lstrip().startswith("{")]
+            if proc.returncode == 0 and lines:
+                print(lines[-1])
+                return 0
+            sys.stderr.write(f"bench attempt {attempt}: rc={proc.returncode}, no JSON line\n")
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"bench attempt {attempt}: {t_lim} s timeout (tunnel stall?) — retrying\n")
+    return 1
+
+
+def _rn50_detail(steps: int):
+    """Train + eval RN50 sub-benches in subprocesses, condensed for
+    detail.rn50 of the default bench line.  Never fails the main bench."""
+    import subprocess
+
+    out = {}
+    for mode, extra in (("train", []), ("eval", ["--eval"])):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--backbone", "RN50", "--no-rn50",
+                 "--steps", str(max(steps, 6))] + extra,
+                capture_output=True, text=True, timeout=900,
+            )
+            jlines = [l for l in proc.stdout.splitlines() if l.lstrip().startswith("{")]
+            r = json.loads(jlines[-1])
+            out[f"{mode}_eps_per_sec_per_chip"] = r["value"]
+            out[f"{mode}_mfu_useful"] = r["detail"]["mfu_useful"]
+        except Exception as e:  # the RN50 extra must never sink the headline number
+            out[f"{mode}_error"] = str(e)[:200]
+    out["roofline_note"] = (
+        "mfu_useful vs 197 TFLOP/s bf16 over the analytic ModifiedResNet counter "
+        "(11.59 GFLOP/frame fwd @224; PERFORMANCE.md 'RN50 roofline')"
+    )
+    return out
 
 
 def _tower_gflops_per_frame(backbone: str, res: int):
