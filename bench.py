@@ -255,15 +255,19 @@ def main() -> int:
             argv.append(a)
         if not remat_on:
             sys.stderr.write(f"OOM at {episodes} episodes/step without remat — retrying with remat\n")
-            sys.argv = argv + ["--remat", "--episodes", str(episodes)]
+            retry = argv + ["--remat", "--episodes", str(episodes)]
         elif episodes > n_dev:
             sys.stderr.write(f"OOM at {episodes} episodes/step — retrying at {n_dev}\n")
-            sys.argv = argv + ["--remat", "--episodes", str(n_dev)]
+            retry = argv + ["--remat", "--episodes", str(n_dev)]
         else:
             next_chunks = max(chunks * 4, 4)
             sys.stderr.write(f"OOM at {episodes} episodes/step with remat — retrying with {next_chunks} frame chunks\n")
-            sys.argv = argv + ["--remat", "--episodes", str(episodes), "--frame-chunks", str(next_chunks)]
-        return main()
+            retry = argv + ["--remat", "--episodes", str(episodes), "--frame-chunks", str(next_chunks)]
+        sys.stderr.flush()
+        # exec, don't recurse: an in-process retry OOMs immediately because
+        # this frame still pins the failed attempt's device buffers (model,
+        # state, batch) while the retry builds its own
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)] + retry[1:])
     for _ in range(1):
         run_once()
     if args.profile:

