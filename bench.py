@@ -167,7 +167,9 @@ def main() -> int:
         cfg.TPU.FRAME_CHUNKS = args.frame_chunks
     mesh = build_mesh(cfg)
 
-    _mark("building model")
+    # 600 s: ViT-L/14@336px flax init takes ~250-320 s on a 1-core host —
+    # the default 300 s deadline false-positives on the largest tower
+    _mark("building model", deadline=600.0)
     model = build_few_shot_model(cfg, jax.random.PRNGKey(0))
     _mark("model built")
     tx = build_optimizer(cfg, model.variables["params"], name_prefix="head")

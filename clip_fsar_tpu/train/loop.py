@@ -106,6 +106,12 @@ def evaluate(
 
     out = None
     pending = None
+    # long protocol runs (NUM_TEST_TASKS=10000, reference
+    # test_net_few_shot.py:57) get a running stat line every ~50 steps;
+    # interleaved validations stay below the period and log nothing extra
+    log_every = 50
+    steps_done = 0
+    t0 = time.perf_counter()
     with build_few_shot_loader(
         cfg, split, num_steps=num_steps, episodes_per_step=e, episode_range=ep_range
     ) as loader:
@@ -115,6 +121,18 @@ def evaluate(
             fut = eval_step(variables, shard_batch(batch, mesh, global_e=e))
             if pending is not None:
                 out = consume(jax.device_get(pending))
+                steps_done += 1
+                if steps_done % log_every == 0:
+                    log_json_stats(
+                        {
+                            "_type": f"eval_{split}_iter",
+                            "episodes": int(num_tasks - episodes_left),
+                            "of": num_tasks,
+                            "top1_acc": round(float(top1) / max(count, 1) * 100.0, 2),
+                            "eps_per_sec": round((num_tasks - episodes_left) / max(time.perf_counter() - t0, 1e-9), 2),
+                        },
+                        logger,
+                    )
             pending = fut
         if pending is not None:
             out = consume(jax.device_get(pending))
