@@ -150,7 +150,13 @@ class CachedVideoDecoder:
     FRAME_CACHE_JPEG_QUALITY``.
     """
 
-    def __init__(self, cache_dir: Optional[str] = None, max_frames: int = 64, jpeg_quality: int = 90):
+    def __init__(
+        self,
+        cache_dir: Optional[str] = None,
+        max_frames: int = 64,
+        jpeg_quality: int = 90,
+        lru_videos: int = 64,
+    ):
         import collections
         import tempfile
         import threading
@@ -165,10 +171,15 @@ class CachedVideoDecoder:
         # fresh np.load (zip central-directory parse) per call costs more
         # than the JPEG decodes it precedes.  Entries are plain dicts (the
         # NpzFile is drained and closed at insert) so loader THREADS can
-        # read them without locking; ~2 MB/video of encoded JPEGs keeps
-        # the 64-entry cap near 128 MB worst-case
+        # read them without locking; ~2 MB/video of encoded JPEGs per
+        # entry.  The 10k-episode protocol cycles ~1.3k test videos
+        # uniformly, so a cap below the split size never warms (measured
+        # 4.7 eps/s at cap 64 vs ~18 eps/s fully resident on the round-3
+        # host) — size DATA.FRAME_CACHE_LRU_VIDEOS to the split for
+        # protocol runs (the decoder is shared across loader workers, so
+        # this is one pool, not one per thread)
         self._lru: "collections.OrderedDict[str, dict]" = collections.OrderedDict()
-        self._lru_cap = 64
+        self._lru_cap = int(lru_videos)
         self._lock = threading.Lock()
 
     def _cache_path(self, path: str) -> str:
@@ -180,7 +191,12 @@ class CachedVideoDecoder:
             sig = f"{path}:{st.st_size}:{int(st.st_mtime)}"
         except OSError:
             sig = path
-        key = hashlib.md5(f"{sig}:{self.max_frames}:{self.jpeg_quality}".encode()).hexdigest()[:16]
+        # v2: one concatenated JPEG blob + offsets per video.  v1 stored
+        # each frame as its own npz entry; np.load then paid a zip header
+        # + ast.literal_eval parse PER FRAME on every LRU miss (measured
+        # 15 ms/video, 63 % of warm episode assembly on a cold LRU) — the
+        # blob form is 5 entries regardless of frame count
+        key = hashlib.md5(f"{sig}:{self.max_frames}:{self.jpeg_quality}:v2".encode()).hexdigest()[:16]
         return os.path.join(self.cache_dir, f"{key}.npz")
 
     def _ensure(self, path: str):
@@ -199,13 +215,22 @@ class CachedVideoDecoder:
         fps = self.inner.fps(path)
         keep = np.unique(np.linspace(0, n - 1, min(self.max_frames, n)).round().astype(np.int64))
         frames = self.inner.read(path, keep)
-        blob = {"orig_idx": keep, "length": np.int64(n), "fps": np.float64(fps)}
         flag = [int(cv2.IMWRITE_JPEG_QUALITY), self.jpeg_quality]
+        encs = []
         for i, f in enumerate(frames):
             ok, enc = cv2.imencode(".jpg", cv2.cvtColor(f, cv2.COLOR_RGB2BGR), flag)
             if not ok:
                 raise IOError(f"JPEG encode failed for {path} frame {keep[i]}")
-            blob[f"f{i}"] = np.frombuffer(enc.tobytes(), np.uint8)
+            encs.append(np.frombuffer(enc.tobytes(), np.uint8))
+        off = np.zeros(len(encs) + 1, np.int64)
+        np.cumsum([len(e) for e in encs], out=off[1:])
+        blob = {
+            "orig_idx": keep,
+            "length": np.int64(n),
+            "fps": np.float64(fps),
+            "jpegs": np.concatenate(encs) if encs else np.zeros(0, np.uint8),
+            "off": off,
+        }
         # unique tmp per writer (loader THREADS share a pid) + atomic
         # replace: concurrent workers race benignly, last write wins
         import tempfile
@@ -244,9 +269,13 @@ class CachedVideoDecoder:
         take = np.where(
             np.abs(orig[left] - np.asarray(indices)) <= np.abs(orig[pos] - np.asarray(indices)), left, pos
         )
+        jpegs, off = z["jpegs"], z["off"]
         decoded = {}
         for i in np.unique(take):
-            decoded[int(i)] = cv2.cvtColor(cv2.imdecode(z[f"f{int(i)}"], cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+            i = int(i)
+            decoded[i] = cv2.cvtColor(
+                cv2.imdecode(jpegs[off[i]:off[i + 1]], cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB
+            )
         return np.stack([decoded[int(i)] for i in take])
 
 
@@ -263,5 +292,6 @@ def build_decoder(name: str, data_root: Optional[str] = None, cfg_data=None):
             cache_dir=cfg_data.get("FRAME_CACHE_DIR", None) or None,
             max_frames=int(cfg_data.get("FRAME_CACHE_FRAMES", 64)),
             jpeg_quality=int(cfg_data.get("FRAME_CACHE_JPEG_QUALITY", 90)),
+            lru_videos=int(cfg_data.get("FRAME_CACHE_LRU_VIDEOS", 64)),
         )
     return DECODER_REGISTRY.get(name)()

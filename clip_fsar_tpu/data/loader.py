@@ -23,15 +23,19 @@ def build_few_shot_loader(
     episodes_per_step: Optional[int] = None,
     start_step: int = 0,
     episode_range: Optional[tuple] = None,
+    sampler_wrap=None,
 ) -> EpisodeLoader:
     """episode_range: multi-host local slice [lo, hi) of each step's global
-    batch (parallel/mesh.py::local_episode_range); None = the full batch."""
+    batch (parallel/mesh.py::local_episode_range); None = the full batch.
+    sampler_wrap: optional EpisodeSampler -> EpisodeSampler transform (the
+    frame-bank index mode, data/frame_bank.py)."""
     name = cfg.TRAIN.DATASET if split == "train" else cfg.TEST.get("DATASET", cfg.TRAIN.DATASET)
     dataset = DATASET_REGISTRY.get(name)(cfg, split)
     if episodes_per_step is None:
         episodes_per_step = int(cfg.TPU.get("EPISODES_PER_STEP", 1)) if split == "train" else 1
+    factory = dataset.make_sampler if sampler_wrap is None else (lambda i: sampler_wrap(dataset.make_sampler(i)))
     return EpisodeLoader(
-        dataset.make_sampler,
+        factory,
         episodes_per_step=episodes_per_step,
         num_workers=int(cfg.DATA_LOADER.get("NUM_WORKERS", 4)),
         prefetch=int(cfg.DATA_LOADER.get("PREFETCH", 2)),

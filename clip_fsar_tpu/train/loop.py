@@ -13,6 +13,7 @@ and NUM_TRAIN_TASKS transfer unchanged.
 from __future__ import annotations
 
 import collections
+import functools
 import time
 from typing import Dict, Optional
 
@@ -57,12 +58,28 @@ def build_state(cfg, model, tx) -> TrainState:
 
 
 def evaluate(
-    cfg, model, variables, mesh, num_tasks: int, episodes_per_step: int = None, split: str = "test", eval_step=None
+    cfg, model, variables, mesh, num_tasks: int, episodes_per_step: int = None, split: str = "test",
+    eval_step=None, bank_ctx=None,
 ) -> Dict[str, float]:
     """Episode-sampled evaluation: top-1/top-5 over num_tasks episodes plus
     per-class top-1 (reference test_net_few_shot.py:35-224).  Pass a
     pre-jitted ``eval_step`` when calling repeatedly (interleaved
-    validation) — a fresh closure per call would recompile the tower."""
+    validation) — a fresh closure per call would recompile the tower.
+
+    TPU.EVAL_FRAME_BANK=true pins the split's quantized frames in HBM once
+    and feeds int32 gather indices per step instead of pixels
+    (data/frame_bank.py) — same episode stream, same metrics, ~4e4x less
+    host->device traffic on the protocol loop."""
+    sampler_wrap = None
+    if bank_ctx is None and eval_step is None and bool(cfg.TPU.get("EVAL_FRAME_BANK", False)):
+        from clip_fsar_tpu.data.frame_bank import make_bank_eval_context
+
+        bank_ctx = make_bank_eval_context(cfg, model, mesh, split)
+    if bank_ctx is not None:
+        from clip_fsar_tpu.data.frame_bank import IndexEpisodeSampler
+
+        eval_step = functools.partial(bank_ctx.eval_step, bank=bank_ctx.bank)
+        sampler_wrap = lambda s: IndexEpisodeSampler(s, bank_ctx.table)  # noqa: E731
     if eval_step is None:
         # replicated outputs: every process of a multi-host job can fetch
         # the full per-episode metric arrays (GSPMD all-gathers over ICI);
@@ -113,7 +130,8 @@ def evaluate(
     steps_done = 0
     t0 = time.perf_counter()
     with build_few_shot_loader(
-        cfg, split, num_steps=num_steps, episodes_per_step=e, episode_range=ep_range
+        cfg, split, num_steps=num_steps, episodes_per_step=e, episode_range=ep_range,
+        sampler_wrap=sampler_wrap,
     ) as loader:
         for batch in loader:
             # dispatch step N before fetching step N-1: host-side metric
@@ -212,15 +230,21 @@ def train_few_shot(cfg) -> Dict[str, float]:
     best = {"top1_acc": 0.0}
 
     # jit the eval step ONCE: interleaved validation (and its EMA pass)
-    # would otherwise recompile the tower on every VAL_FRE_ITER boundary
-    interleaved_eval_step = (
-        jax.jit(
-            make_eval_step(model.head, cfg, model.text_train, model.text_test),
-            out_shardings=replicated(mesh),
-        )
-        if val_every
-        else None
-    )
+    # would otherwise recompile the tower on every VAL_FRE_ITER boundary.
+    # With TPU.EVAL_FRAME_BANK the bank context plays that role (one
+    # build + one compile, cached on the model).
+    interleaved_eval_step = None
+    interleaved_bank_ctx = None
+    if val_every:
+        if bool(cfg.TPU.get("EVAL_FRAME_BANK", False)):
+            from clip_fsar_tpu.data.frame_bank import make_bank_eval_context
+
+            interleaved_bank_ctx = make_bank_eval_context(cfg, model, mesh, "test")
+        else:
+            interleaved_eval_step = jax.jit(
+                make_eval_step(model.head, cfg, model.text_train, model.text_test),
+                out_shardings=replicated(mesh),
+            )
 
     remaining = max(num_train_tasks - start_iter, 0)
     # start_step=start_iter: a resumed run CONTINUES the (seed, step)
@@ -264,14 +288,14 @@ def train_few_shot(cfg) -> Dict[str, float]:
                 ckpt.save(cur_iter, jax.device_get(state))
                 stats = evaluate(
                     cfg, model, jax.device_get(state).model_variables, mesh, num_val_tasks,
-                    eval_step=interleaved_eval_step,
+                    eval_step=interleaved_eval_step, bank_ctx=interleaved_bank_ctx,
                 )
                 if stats["top1_acc"] >= best["top1_acc"]:
                     best = stats
                 if state.ema_params is not None:
                     evaluate(
                         cfg, model, jax.device_get(state).ema_variables(), mesh, num_val_tasks,
-                        eval_step=interleaved_eval_step,
+                        eval_step=interleaved_eval_step, bank_ctx=interleaved_bank_ctx,
                     )
                 t_last, iters_last = time.perf_counter(), cur_iter  # exclude val/ckpt from the rate window
 
