@@ -9,6 +9,7 @@ assemble the head.  No DDP wrap — replication/sharding is a jit concern.
 from __future__ import annotations
 
 import os
+from contextlib import nullcontext as _nullcontext
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
@@ -30,6 +31,26 @@ class FewShotModel(NamedTuple):
     variables: Dict[str, Any]
     text_train: jnp.ndarray
     text_test: jnp.ndarray
+
+
+def _init_device(cfg):
+    """Device for ONE-TIME build work (param init, class text features).
+
+    Defaults to the host CPU: on a tunneled/remote accelerator the init
+    compile + full-tree fetch runs minutes (measured 7m45s RN50 build via
+    the dev tunnel vs 2m38s on this host's CPU), and the values are
+    equivalent — threefry RNG is backend-invariant, and the text features
+    are fp32 constants the reference also computes once at __init__
+    (few_shot.py:2714-2728).  ``TPU.INIT_BACKEND device`` restores
+    on-accelerator init; the knob is a no-op when CPU is already the
+    default backend."""
+    mode = str(cfg.TPU.get("INIT_BACKEND", "cpu")) if "TPU" in cfg else "cpu"
+    if mode == "device":
+        return None
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
 
 
 def _dtype_from_cfg(cfg):
@@ -173,9 +194,11 @@ def load_or_init_clip(cfg, rng, flow: str = "auto") -> tuple:
     arch = _adapt_vision_depth(cfg, _adapt_vision_resolution(cfg, ARCHS[backbone_name], flow))
     logger.info("No CLIP checkpoint found for %s — random init", backbone_name)
     model = CLIP(arch=arch)
-    imgs = jnp.zeros((1, arch.image_resolution, arch.image_resolution, 3), jnp.float32)
-    toks = jnp.zeros((1, arch.context_length), jnp.int32).at[:, 1].set(2)
-    variables = jax.jit(model.init)(rng, imgs, toks)
+    dev = _init_device(cfg)
+    with jax.default_device(dev) if dev is not None else _nullcontext():
+        imgs = jnp.zeros((1, arch.image_resolution, arch.image_resolution, 3), jnp.float32)
+        toks = jnp.zeros((1, arch.context_length), jnp.int32).at[:, 1].set(2)
+        variables = jax.jit(model.init)(rng, imgs, toks)
     return arch, jax.device_get(variables)
 
 
@@ -183,10 +206,12 @@ def encode_class_names(cfg, arch: CLIPArch, clip_variables, class_names, prompt:
     """Tokenize prompted class names and run the text tower once (fp32)."""
     template = prompt or "a photo of {}"
     texts = [template.format(class_names[i]) for i in range(len(class_names))]
-    toks = jnp.asarray(tokenize(texts))
     text_module = TextTransformer(arch)
     text_vars = {"params": clip_variables["params"]["text"]}
-    return jax.jit(text_module.apply)(text_vars, toks)
+    dev = _init_device(cfg)
+    with jax.default_device(dev) if dev is not None else _nullcontext():
+        toks = jnp.asarray(tokenize(texts))
+        return jax.jit(text_module.apply)(text_vars, toks)
 
 
 def build_few_shot_model(cfg, rng=None, flow: str = "auto") -> FewShotModel:
@@ -231,8 +256,10 @@ def build_few_shot_model(cfg, rng=None, flow: str = "auto") -> FewShotModel:
     mid = arch.embed_dim
     t = int(cfg.DATA.NUM_INPUT_FRAMES)
     ctx = TransformerV1(dim=mid, heads=8, dim_head_k=mid // 8, dropout_atte=0.2, depth=head.head_cfg.transformer_depth)
-    dummy = jnp.zeros((1, t + 1, mid), jnp.float32)
-    ctx_params = ctx.init(rng, dummy, dummy, dummy)["params"]
+    dev = _init_device(cfg)
+    with jax.default_device(dev) if dev is not None else _nullcontext():
+        dummy = jnp.zeros((1, t + 1, mid), jnp.float32)
+        ctx_params = jax.device_get(ctx.init(rng, dummy, dummy, dummy))["params"]
 
     params = {
         "backbone": clip_vars["params"]["visual"],
@@ -253,16 +280,18 @@ def _assemble_classic_head(cfg, head, rng, text_train, text_test, clip_vars=None
     t = int(cfg.DATA.NUM_INPUT_FRAMES)
     res = int(cfg.DATA.TRAIN_CROP_SIZE)
     way = int(cfg.TRAIN.WAY)
-    dummy = Episode(
-        support_images=jnp.zeros((way, t, res, res, 3), jnp.float32),
-        support_labels=jnp.arange(way, dtype=jnp.int32),
-        real_support_labels=jnp.arange(way, dtype=jnp.int32),
-        target_images=jnp.zeros((way, t, res, res, 3), jnp.float32),
-        target_labels=jnp.arange(way, dtype=jnp.int32),
-        real_target_labels=jnp.arange(way, dtype=jnp.int32),
-        batch_class_list=jnp.arange(way, dtype=jnp.int32),
-    )
-    variables = jax.jit(lambda r, ep: head.init(r, ep, train=False))(rng, dummy)
+    dev = _init_device(cfg)
+    with jax.default_device(dev) if dev is not None else _nullcontext():
+        dummy = Episode(
+            support_images=jnp.zeros((way, t, res, res, 3), jnp.float32),
+            support_labels=jnp.arange(way, dtype=jnp.int32),
+            real_support_labels=jnp.arange(way, dtype=jnp.int32),
+            target_images=jnp.zeros((way, t, res, res, 3), jnp.float32),
+            target_labels=jnp.arange(way, dtype=jnp.int32),
+            real_target_labels=jnp.arange(way, dtype=jnp.int32),
+            batch_class_list=jnp.arange(way, dtype=jnp.int32),
+        )
+        variables = jax.jit(lambda r, ep: head.init(r, ep, train=False))(rng, dummy)
     variables = jax.device_get(variables)
     variables = dict(variables)
 
