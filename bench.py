@@ -350,8 +350,35 @@ def main() -> int:
     }
     if rn50:
         result["detail"]["rn50"] = rn50
+    elif args.backbone == "ViT-B/16" and not (args.eval or args.quick):
+        # --no-rn50 retry (or a failed sub-bench): degrade to the last
+        # SUCCESSFUL rn50 measurement, tagged stale, rather than to absent
+        # (VERDICT r3 weak #2 — the recorded artifact lost all RN50
+        # evidence when attempt 1 wedged on the tunnel)
+        cached = _rn50_cached()
+        if cached:
+            result["detail"]["rn50"] = cached
     print(json.dumps(result))
     return 0
+
+
+_RN50_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "output", "bench_rn50_cache.json")
+
+
+def _rn50_cached():
+    """Last successful detail.rn50, tagged stale, or None."""
+    try:
+        with open(_RN50_CACHE) as f:
+            cached = json.load(f)
+        cached["stale"] = True
+        cached["staleness_note"] = (
+            "rn50 sub-benches skipped this run (--no-rn50 retry after a tunnel "
+            "wedge, or sub-bench failure); values are the last successful "
+            f"measurement from measured_at={cached.get('measured_at', '?')}"
+        )
+        return cached
+    except Exception:
+        return None
 
 
 def _supervised() -> int:
@@ -366,7 +393,12 @@ def _supervised() -> int:
 
     env = dict(os.environ, CLIP_FSAR_BENCH_SUPERVISED="1")
     base = [sys.executable, os.path.abspath(__file__)] + sys.argv[1:]
-    for attempt, argv, t_lim in ((1, base, 2700), (2, base + ["--no-rn50"], 900), (3, base + ["--no-rn50"], 900)):
+    # Attempt-1 limit must exceed the SUM of the in-child phase deadlines
+    # (build 600 + batch 300 + warmup 900 + timing 600 + rn50 2000 ≈ 4400 s
+    # worst case) or a healthy-but-slow full run gets killed and silently
+    # degraded to --no-rn50 (ADVICE r3).  The in-child watchdog already
+    # bounds a WEDGED run to minutes; this outer limit is only the backstop.
+    for attempt, argv, t_lim in ((1, base, 4800), (2, base + ["--no-rn50"], 2700), (3, base + ["--no-rn50"], 2700)):
         try:
             proc = subprocess.run(argv, env=env, timeout=t_lim, stdout=subprocess.PIPE, text=True)
             lines = [l for l in proc.stdout.splitlines() if l.lstrip().startswith("{")]
@@ -402,6 +434,14 @@ def _rn50_detail(steps: int):
         "mfu_useful vs 197 TFLOP/s bf16 over the analytic ModifiedResNet counter "
         "(11.59 GFLOP/frame fwd @224; PERFORMANCE.md 'RN50 roofline')"
     )
+    if not any(k.endswith("_error") for k in out):
+        # persist for the stale-but-present degradation path (_rn50_cached)
+        try:
+            os.makedirs(os.path.dirname(_RN50_CACHE), exist_ok=True)
+            with open(_RN50_CACHE, "w") as f:
+                json.dump(dict(out, measured_at=time.strftime("%Y-%m-%dT%H:%M:%S")), f)
+        except OSError:
+            pass
     return out
 
 

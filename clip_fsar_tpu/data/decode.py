@@ -199,6 +199,21 @@ class CachedVideoDecoder:
         key = hashlib.md5(f"{sig}:{self.max_frames}:{self.jpeg_quality}:v2".encode()).hexdigest()[:16]
         return os.path.join(self.cache_dir, f"{key}.npz")
 
+    def _gc_v1(self, path: str) -> None:
+        """Unlink this video's pre-blob (v1, per-frame-entry) cache file if
+        one survives — orphaned by the v2 key suffix, never read again, and
+        roughly doubling shared FRAME_CACHE_DIRs otherwise."""
+        try:
+            st = os.stat(path)
+            sig = f"{path}:{st.st_size}:{int(st.st_mtime)}"
+        except OSError:
+            sig = path
+        v1 = hashlib.md5(f"{sig}:{self.max_frames}:{self.jpeg_quality}".encode()).hexdigest()[:16]
+        try:
+            os.unlink(os.path.join(self.cache_dir, f"{v1}.npz"))
+        except OSError:
+            pass
+
     def _ensure(self, path: str):
         import cv2
 
@@ -211,6 +226,7 @@ class CachedVideoDecoder:
         cpath = self._cache_path(path)
         if os.path.exists(cpath):
             return self._remember(path, np.load(cpath, allow_pickle=False))
+        self._gc_v1(path)
         n = self.inner.length(path)
         fps = self.inner.fps(path)
         keep = np.unique(np.linspace(0, n - 1, min(self.max_frames, n)).round().astype(np.int64))

@@ -71,6 +71,30 @@ def build_eval_frame_bank(cfg, split: str) -> Tuple[np.ndarray, FrameBankTable]:
 
     bank_frames = int(cfg.TPU.get("EVAL_FRAME_BANK_FRAMES", 0) or cfg.DATA.get("FRAME_CACHE_FRAMES", 64))
 
+    # Bit-identity with the pixel path holds ONLY when the pixel path
+    # itself snaps to the same grid: DATA.DECODER=cached_opencv with the
+    # bank grid equal to the decoder cache grid.  Any other combination
+    # quantizes frame indices the pixel path would not — warn loudly so a
+    # protocol/accuracy run can't drift silently (ADVICE r3, medium).
+    from clip_fsar_tpu.data.decode import CachedVideoDecoder
+
+    if not isinstance(decoder, CachedVideoDecoder):
+        logger.warning(
+            "EVAL_FRAME_BANK with DATA.DECODER=%s: the bank snaps sampled frame "
+            "indices to a %d-frame uniform grid that this decoder's pixel path "
+            "does NOT use — metrics are not bit-identical to the pixel path. "
+            "Use DATA.DECODER cached_opencv with FRAME_CACHE_FRAMES == bank "
+            "frames for the guaranteed-identical configuration.",
+            cfg.DATA.get("DECODER", "?"), bank_frames,
+        )
+    elif bank_frames != decoder.max_frames:
+        logger.warning(
+            "EVAL_FRAME_BANK grid (%d frames) != decoder cache grid (%d frames): "
+            "bank-mode metrics will differ from the pixel path's. Set "
+            "TPU.EVAL_FRAME_BANK_FRAMES == DATA.FRAME_CACHE_FRAMES for bit-identity.",
+            bank_frames, decoder.max_frames,
+        )
+
     paths = []
     seen = set()
     for class_id in fs_split.unique_classes():
@@ -181,26 +205,27 @@ class BankEvalContext:
 
 def make_bank_eval_context(cfg, model, mesh, split: str) -> BankEvalContext:
     """Build the bank, pin it on device (replicated over the mesh), and
-    jit the gathering eval step once.  Cached on the model object so
-    interleaved validations reuse one build + one compile."""
+    jit the gathering eval step once.  NOT cached here — the build is
+    multi-GB and the jit is slow, so callers that evaluate repeatedly
+    (train/loop.py interleaved validation) build one context up front
+    and pass it via ``bank_ctx=``."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    cache_key = f"_bank_ctx_{split}"
-    ctx = getattr(model, cache_key, None)
-    if ctx is not None:
-        return ctx
     bank_np, table = build_eval_frame_bank(cfg, split)
+    # the upload is multi-GB and the dev tunnel can wedge a device RPC —
+    # log around it so a stall is attributable (the round-3 train5k run
+    # went dark exactly here)
+    import time
+
+    t0 = time.perf_counter()
     bank = jax.device_put(bank_np, NamedSharding(mesh, P()))
+    bank.block_until_ready()
+    logger.info("frame bank on device: %.2f GB in %.1f s", bank_np.nbytes / 1e9, time.perf_counter() - t0)
     from clip_fsar_tpu.parallel.mesh import replicated
 
     eval_step = jax.jit(
         make_bank_eval_step(model.head, cfg, model.text_train, model.text_test),
         out_shardings=replicated(mesh),
     )
-    ctx = BankEvalContext(eval_step=eval_step, bank=bank, table=table)
-    try:
-        setattr(model, cache_key, ctx)
-    except Exception:  # model containers that reject attributes: skip caching
-        pass
-    return ctx
+    return BankEvalContext(eval_step=eval_step, bank=bank, table=table)

@@ -256,6 +256,7 @@ def train_few_shot(cfg) -> Dict[str, float]:
     ) as loader:
         cur_iter = start_iter
         log_period = int(cfg.get("LOG_PERIOD", 10))
+        logger.info("train loop: %d iterations x %d episodes/step (first step compiles the tower)", remaining, e)
         t_last, iters_last = time.perf_counter(), cur_iter
         for batch in loader:
             lr = get_lr_at_epoch(cfg, epoch_for_iter(cfg, cur_iter))

@@ -39,8 +39,11 @@ def pytest_collection_modifyitems(config, items):
         manifest = {line.strip() for line in f if line.strip() and not line.startswith("#")}
     matched = set()
     for item in items:
-        # nodeid relative to tests/: "test_x.py::test_y[param]"
-        nodeid = item.nodeid.split("/")[-1]
+        # nodeid relative to tests/: "test_x.py::test_y[param]".  Basename
+        # only the FILE part — a '/' inside a param id (e.g. "ViT-B/16")
+        # must survive, or the manifest entry can never match.
+        f, _, rest = item.nodeid.partition("::")
+        nodeid = os.path.basename(f) + "::" + rest
         if nodeid in manifest:
             item.add_marker(pytest.mark.slow)
             matched.add(nodeid)
