@@ -303,6 +303,17 @@ def build_decoder(name: str, data_root: Optional[str] = None, cfg_data=None):
             name = "opencv"
         else:
             name = "synthetic"
+    if name == "cached_opencv" and cfg_data is not None and bool(cfg_data.get("EXACT_SAMPLING", False)):
+        # accuracy runs compared against the reference protocol must read
+        # the EXACT sampled frame indices (reference datasets/base/
+        # base_dataset.py:493-530); the cache snaps them to a fixed grid
+        raise ValueError(
+            "DATA.EXACT_SAMPLING=true refuses DECODER=cached_opencv: the frame "
+            "cache snaps sampled indices to its uniform grid, which the "
+            "reference decode path never does. Use DATA.DECODER opencv (or "
+            "auto) for protocol-exact accuracy runs, or drop EXACT_SAMPLING "
+            "for throughput runs where grid quantization is acceptable."
+        )
     if name == "cached_opencv" and cfg_data is not None:
         return CachedVideoDecoder(
             cache_dir=cfg_data.get("FRAME_CACHE_DIR", None) or None,

@@ -65,6 +65,17 @@ def build_eval_frame_bank(cfg, split: str) -> Tuple[np.ndarray, FrameBankTable]:
     """
     from clip_fsar_tpu.data.loader import DATASET_REGISTRY
 
+    if bool(cfg.DATA.get("EXACT_SAMPLING", False)):
+        # same contract as decode.py::build_decoder: a protocol-exact
+        # accuracy run must never feed grid-snapped frames
+        raise ValueError(
+            "TPU.EVAL_FRAME_BANK=true with DATA.EXACT_SAMPLING=true: the bank "
+            "snaps sampled frame indices to its uniform grid, which the "
+            "reference protocol's decode path never does (reference datasets/"
+            "base/base_dataset.py:493-530). Disable the bank for accuracy "
+            "runs, or drop EXACT_SAMPLING for throughput runs."
+        )
+
     name = cfg.TRAIN.DATASET if split == "train" else cfg.TEST.get("DATASET", cfg.TRAIN.DATASET)
     dataset = DATASET_REGISTRY.get(name)(cfg, split)
     fs_split, decoder, path_map = dataset.fs_split, dataset.decoder, dataset.path_map
