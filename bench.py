@@ -363,13 +363,20 @@ def main() -> int:
 
 
 _RN50_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "output", "bench_rn50_cache.json")
+# committed fallback: output/ is gitignored and wiped between rounds, so a
+# round whose every bench attempt wedges before the RN50 sub-benches still
+# degrades to the last committed measurement instead of to absent
+_RN50_CACHE_COMMITTED = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "bench_rn50_cache.json")
 
 
 def _rn50_cached():
     """Last successful detail.rn50, tagged stale, or None."""
-    try:
-        with open(_RN50_CACHE) as f:
-            cached = json.load(f)
+    for path in (_RN50_CACHE, _RN50_CACHE_COMMITTED):
+        try:
+            with open(path) as f:
+                cached = json.load(f)
+        except Exception:
+            continue
         cached["stale"] = True
         cached["staleness_note"] = (
             "rn50 sub-benches skipped this run (--no-rn50 retry after a tunnel "
@@ -377,8 +384,7 @@ def _rn50_cached():
             f"measurement from measured_at={cached.get('measured_at', '?')}"
         )
         return cached
-    except Exception:
-        return None
+    return None
 
 
 def _supervised() -> int:

@@ -239,7 +239,9 @@ def train_few_shot(cfg) -> Dict[str, float]:
         if bool(cfg.TPU.get("EVAL_FRAME_BANK", False)):
             from clip_fsar_tpu.data.frame_bank import make_bank_eval_context
 
-            interleaved_bank_ctx = make_bank_eval_context(cfg, model, mesh, "test")
+            # interleaved validation runs on the VAL split (reference
+            # train_net_few_shot.py:78-82 eval_epoch over the val loader)
+            interleaved_bank_ctx = make_bank_eval_context(cfg, model, mesh, "val")
         else:
             interleaved_eval_step = jax.jit(
                 make_eval_step(model.head, cfg, model.text_train, model.text_test),
@@ -289,14 +291,14 @@ def train_few_shot(cfg) -> Dict[str, float]:
                 ckpt.save(cur_iter, jax.device_get(state))
                 stats = evaluate(
                     cfg, model, jax.device_get(state).model_variables, mesh, num_val_tasks,
-                    eval_step=interleaved_eval_step, bank_ctx=interleaved_bank_ctx,
+                    split="val", eval_step=interleaved_eval_step, bank_ctx=interleaved_bank_ctx,
                 )
                 if stats["top1_acc"] >= best["top1_acc"]:
                     best = stats
                 if state.ema_params is not None:
                     evaluate(
                         cfg, model, jax.device_get(state).ema_variables(), mesh, num_val_tasks,
-                        eval_step=interleaved_eval_step, bank_ctx=interleaved_bank_ctx,
+                        split="val", eval_step=interleaved_eval_step, bank_ctx=interleaved_bank_ctx,
                     )
                 t_last, iters_last = time.perf_counter(), cur_iter  # exclude val/ckpt from the rate window
 

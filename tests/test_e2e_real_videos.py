@@ -34,7 +34,9 @@ def _write_video(path, seed, n_frames=12, size=(72, 56)):
 def test_cli_train_and_eval_on_real_mp4(tmp_path):
     ways, shot, qpc = 3, 1, 2
     per_class = shot + qpc + 1
-    for split in ("train", "test"):
+    # val list too: interleaved VAL_FRE_ITER validation runs on the val
+    # split (reference train_net_few_shot.py:78-82)
+    for split in ("train", "val", "test"):
         lines = []
         for c in range(ways):
             for v in range(per_class):
@@ -58,6 +60,7 @@ def test_cli_train_and_eval_on_real_mp4(tmp_path):
         "TRAIN.NUM_TRAIN_TASKS", "2",
         "TRAIN.NUM_TEST_TASKS", "2",
         "TRAIN.VAL_FRE_ITER", "2",
+        "TRAIN.NUM_VAL_TASKS", "2",
         "TPU.EPISODES_PER_STEP", "1",
         "DATA.NUM_INPUT_FRAMES", "4",
         "DATA.TRAIN_CROP_SIZE", "64",
