@@ -55,6 +55,10 @@ def make_train_step(head, tx, cfg, text_train, text_test) -> Callable:
     recons_coff *= float(cfg.TRAIN.get("BATCH_SIZE", 1) or 1)
     num_frames = int(cfg.DATA.NUM_INPUT_FRAMES)
     ema_decay = float(cfg.MODEL.EMA.DECAY) if ("MODEL" in cfg and cfg.MODEL.EMA.get("ENABLE", False)) else None
+    # in-step gradient accumulation (TPU.EPISODE_CHUNKS, base.yaml): scan
+    # over episode micro-batches so only E/chunks episodes' fwd+bwd temps
+    # are live at once; one optimizer update per loader batch either way
+    ep_chunks = int(cfg.TPU.get("EPISODE_CHUNKS", 1)) if "TPU" in cfg else 1
 
     # RN towers with live BatchNorm mutate running stats during training
     # (reference trains the whole model; BN.FREEZE=false default)
@@ -97,9 +101,9 @@ def make_train_step(head, tx, cfg, text_train, text_test) -> Callable:
         top1 = (jnp.argmax(logits, -1) == ep.target_labels).mean()
         return loss, ({"loss": loss, "ce": ep_ce, "top1": top1}, new_stats)
 
-    def batch_loss(params, batch_stats, batch: Episode, rng) -> Tuple[jnp.ndarray, Tuple[Dict, Any]]:
-        e = batch.support_images.shape[0]
-        rngs = jax.random.split(rng, e)
+    def batch_loss(params, batch_stats, batch: Episode, rngs) -> Tuple[jnp.ndarray, Tuple[Dict, Any]]:
+        # rngs: one pre-split dropout key per episode ([E_chunk, ...]) so the
+        # chunked and unchunked paths draw identical per-episode keys
         losses, (metrics, new_stats) = jax.vmap(lambda ep, r: episode_loss(params, batch_stats, ep, r))(batch, rngs)
         if new_stats is not None:
             # each episode updated stats from the same starting point
@@ -126,9 +130,34 @@ def make_train_step(head, tx, cfg, text_train, text_test) -> Callable:
             support_images=aug(batch.support_images, ks, False),
             target_images=aug(batch.target_images, kt, True),
         )
-        (loss, (metrics, new_stats)), grads = jax.value_and_grad(batch_loss, has_aux=True)(
-            state.params, state.batch_stats, batch, rng
-        )
+        e = batch.support_images.shape[0]
+        rngs = jax.random.split(rng, e)
+        grad_fn = jax.value_and_grad(batch_loss, has_aux=True)
+        c = ep_chunks if (ep_chunks > 1 and e % ep_chunks == 0 and e > ep_chunks) else 1
+        if c == 1:
+            (loss, (metrics, new_stats)), grads = grad_fn(state.params, state.batch_stats, batch, rngs)
+        else:
+            # sequential micro-batches: grads accumulate in a params-sized
+            # carry; each chunk's BN stats start from state.batch_stats
+            # (reference: one episode per replica, no SyncBN), chunk-means
+            # average to the same episode mean as the unchunked path
+            split = lambda x: x.reshape((c, x.shape[0] // c) + x.shape[1:])
+            chunks = jax.tree_util.tree_map(split, batch)
+            chunk_rngs = split(rngs)
+
+            def body(gsum, xs):
+                chunk, r = xs
+                (loss_c, (metrics_c, stats_c)), grads_c = grad_fn(state.params, state.batch_stats, chunk, r)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, grads_c)
+                return gsum, (loss_c, metrics_c, stats_c)
+
+            gsum, (losses, metrics, stats) = jax.lax.scan(
+                body, jax.tree_util.tree_map(jnp.zeros_like, state.params), (chunks, chunk_rngs)
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / c, gsum)
+            loss = losses.mean()
+            metrics = jax.tree_util.tree_map(lambda m: m.mean(axis=0), metrics)
+            new_stats = jax.tree_util.tree_map(lambda s: s.mean(axis=0), stats)
         # NaN guard (reference train_net_few_shot.py:140-144): a non-finite
         # loss leaves params AND optimizer state untouched (Adam moments
         # would otherwise still move parameters on zero gradients).

@@ -48,6 +48,10 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
             matched.add(nodeid)
     stale = manifest - matched
+    # only meaningful when the whole suite was collected: a single-file run
+    # legitimately misses every other file's manifest entries
+    collected_files = {os.path.basename(item.nodeid.partition("::")[0]) for item in items}
+    stale = {s for s in stale if s.partition("::")[0] in collected_files}
     if stale and not config.option.keyword and not config.option.markexpr:
         import warnings
 

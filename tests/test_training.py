@@ -315,6 +315,68 @@ def test_train_step_updates_params_and_handles_nan():
     np.testing.assert_allclose(jax.device_get(st2.params["scale"]), after)
 
 
+def test_episode_chunks_matches_unchunked_update():
+    """TPU.EPISODE_CHUNKS (in-step gradient accumulation via lax.scan) must
+    produce the same optimizer update as the plain vmap-over-E step: equal
+    chunk-mean of grads == batch mean, identical per-episode dropout keys."""
+    from clip_fsar_tpu.models.clip.model import ARCHS
+    from clip_fsar_tpu.models.heads.clipfsar import CLIPFSARConfig, CLIPFSARHead
+    from clip_fsar_tpu.train.loop import build_state
+    from clip_fsar_tpu.train.step import make_train_step
+    from tests.test_clipfsar_head import make_episode, WAY, T, C_TRAIN, C_TEST, DIM
+
+    def make_cfg(chunks):
+        # SGD: update == lr * grad, so param comparison IS grad comparison.
+        # (A single Adam step normalizes to m̂/√v̂ == sign(g) elementwise,
+        # which flips on fp-noise-level gradients and can't be compared.)
+        return Config({
+            "SOLVER": {"OPTIM_METHOD": "sgd", "WEIGHT_DECAY": 0.0, "BASE_LR": 1e-3, "MOMENTUM": 0.0, "NESTEROV": False},
+            "TRAIN": {"BATCH_SIZE_PER_TASK": 1, "USE_CLASSIFICATION": True, "USE_CLASSIFICATION_VALUE": 1.2},
+            "BN": {"WEIGHT_DECAY": 0.0},
+            "DATA": {
+                "MEAN": [0.48145466, 0.4578275, 0.40821073],
+                "STD": [0.26862954, 0.26130258, 0.27577711],
+                "NUM_INPUT_FRAMES": T,
+            },
+            "MODEL": {"EMA": {"ENABLE": False, "DECAY": 0.999}},
+            "TPU": {"EPISODE_CHUNKS": chunks},
+        })
+
+    head = CLIPFSARHead(arch=ARCHS["ViT-Tiny-Test"], head_cfg=CLIPFSARConfig(way=WAY, num_frames=T))
+    eps = [make_episode(i) for i in range(4)]
+    batch = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x).astype(np.uint8) if x.dtype in (np.float32, jnp.float32) else np.asarray(x) for x in xs]),
+        *eps,
+    )
+    text_train = jnp.asarray(np.random.RandomState(7).randn(C_TRAIN, DIM).astype(np.float32))
+    text_test = jnp.asarray(np.random.RandomState(8).randn(C_TEST, DIM).astype(np.float32))
+    variables = head.init(jax.random.PRNGKey(0), eps[0], text_train, text_test, train=False)
+
+    from clip_fsar_tpu.train.optimizer import build_optimizer as bo
+
+    results = []
+    for chunks in (1, 2, 4):
+        cfg = make_cfg(chunks)
+        tx = bo(cfg, variables["params"])
+
+        class Model:
+            pass
+
+        m = Model()
+        m.variables = variables
+        m.head = head
+        state = build_state(cfg, m, tx)
+        step = jax.jit(make_train_step(head, tx, cfg, text_train, text_test))
+        new_state, metrics = step(state, batch, jnp.float32(1e-3), jax.random.PRNGKey(1))
+        results.append((jax.device_get(new_state.params), float(metrics["loss"])))
+
+    ref_params, ref_loss = results[0]
+    for params, loss in results[1:]:
+        np.testing.assert_allclose(loss, ref_loss, rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(ref_params), jax.tree_util.tree_leaves(params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from clip_fsar_tpu.train.checkpoint import Checkpointer
     from clip_fsar_tpu.train.state import TrainState
