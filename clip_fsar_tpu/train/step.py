@@ -133,7 +133,7 @@ def make_train_step(head, tx, cfg, text_train, text_test) -> Callable:
         e = batch.support_images.shape[0]
         rngs = jax.random.split(rng, e)
         grad_fn = jax.value_and_grad(batch_loss, has_aux=True)
-        c = ep_chunks if (ep_chunks > 1 and e % ep_chunks == 0 and e > ep_chunks) else 1
+        c = ep_chunks if (ep_chunks > 1 and e % ep_chunks == 0) else 1
         if c == 1:
             (loss, (metrics, new_stats)), grads = grad_fn(state.params, state.batch_stats, batch, rngs)
         else:

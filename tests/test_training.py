@@ -367,6 +367,11 @@ def test_episode_chunks_matches_unchunked_update():
         m.head = head
         state = build_state(cfg, m, tx)
         step = jax.jit(make_train_step(head, tx, cfg, text_train, text_test))
+        if chunks > 1:
+            # the scan path must actually engage (lax.scan lowers to a
+            # while op) — guard against a silent fallback to the vmap path
+            hlo = step.lower(state, batch, jnp.float32(1e-3), jax.random.PRNGKey(1)).as_text()
+            assert "while(" in hlo or "stablehlo.while" in hlo, f"EPISODE_CHUNKS={chunks} did not produce a scan"
         new_state, metrics = step(state, batch, jnp.float32(1e-3), jax.random.PRNGKey(1))
         results.append((jax.device_get(new_state.params), float(metrics["loss"])))
 
