@@ -230,8 +230,14 @@ def make_bank_eval_context(cfg, model, mesh, split: str) -> BankEvalContext:
     import time
 
     t0 = time.perf_counter()
-    bank = jax.device_put(bank_np, NamedSharding(mesh, P()))
-    bank.block_until_ready()
+    from clip_fsar_tpu.parallel.mesh import retry_transient
+
+    def _upload():
+        b = jax.device_put(bank_np, NamedSharding(mesh, P()))
+        b.block_until_ready()
+        return b
+
+    bank = retry_transient(_upload, "frame bank upload", base_delay=15.0)
     logger.info("frame bank on device: %.2f GB in %.1f s", bank_np.nbytes / 1e9, time.perf_counter() - t0)
     from clip_fsar_tpu.parallel.mesh import replicated
 

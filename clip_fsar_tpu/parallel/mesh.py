@@ -15,11 +15,46 @@ building the mesh and the same code spans pods over DCN.
 
 from __future__ import annotations
 
-from typing import Optional
+import logging
+import time
+from typing import Callable, Optional, TypeVar
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+_T = TypeVar("_T")
+
+
+def retry_transient(fn: Callable[[], _T], what: str, attempts: int = 4, base_delay: float = 5.0) -> _T:
+    """Run ``fn`` with bounded exponential-backoff retries on transient
+    device ``RESOURCE_EXHAUSTED`` errors.
+
+    On a shared or tunneled chip, another tenant's allocation spike can
+    fail a small host->device transfer even though this process's
+    steady-state residency fits comfortably (observed on the dev tunnel:
+    36 MB batch uploads dying at ~7 GB resident while 20 GiB allocation
+    probes succeed minutes later).  Only operations that do NOT consume
+    donated buffers may be wrapped — uploads (``shard_batch``,
+    ``device_put``) and eager RNG ops, never the jitted train step itself,
+    whose donated input state is dead after a partial execution.
+    """
+    delay = base_delay
+    for k in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # jax surfaces XLA errors via several wrapper types
+            if "RESOURCE_EXHAUSTED" not in str(e) or k == attempts - 1:
+                raise
+            logger.warning(
+                "transient RESOURCE_EXHAUSTED during %s (attempt %d/%d) — retrying in %.0f s",
+                what, k + 1, attempts, delay,
+            )
+            time.sleep(delay)
+            delay *= 2.0
+    raise AssertionError("unreachable")
 
 
 def build_mesh(cfg=None, devices=None) -> Mesh:

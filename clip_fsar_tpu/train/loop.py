@@ -29,6 +29,7 @@ from clip_fsar_tpu.parallel.mesh import (
     local_episode_range,
     replicate,
     replicated,
+    retry_transient,
     round_to_data_mesh,
     shard_batch,
     shard_params,
@@ -136,7 +137,10 @@ def evaluate(
         for batch in loader:
             # dispatch step N before fetching step N-1: host-side metric
             # accounting overlaps the device's next batch
-            fut = eval_step(variables, shard_batch(batch, mesh, global_e=e))
+            batch_dev = retry_transient(
+                lambda: shard_batch(batch, mesh, global_e=e), "eval batch upload"  # noqa: B023
+            )
+            fut = eval_step(variables, batch_dev)
             if pending is not None:
                 out = consume(jax.device_get(pending))
                 steps_done += 1
@@ -262,8 +266,16 @@ def train_few_shot(cfg) -> Dict[str, float]:
         t_last, iters_last = time.perf_counter(), cur_iter
         for batch in loader:
             lr = get_lr_at_epoch(cfg, epoch_for_iter(cfg, cur_iter))
-            dropout_rng, step_rng = jax.random.split(dropout_rng)
-            state, metrics = train_step(state, shard_batch(batch, mesh, global_e=e), jnp.float32(lr), step_rng)
+            # uploads and eager RNG ops are retried on transient device
+            # pressure (shared-chip tenant spikes); the donated train step
+            # itself is not retryable and is left to fail loudly
+            dropout_rng, step_rng = retry_transient(
+                lambda: jax.random.split(dropout_rng), "rng split"  # noqa: B023
+            )
+            batch_dev = retry_transient(
+                lambda: shard_batch(batch, mesh, global_e=e), "train batch upload"  # noqa: B023
+            )
+            state, metrics = train_step(state, batch_dev, jnp.float32(lr), step_rng)
             cur_iter += 1
 
             if cur_iter % log_period == 0 or cur_iter == num_train_tasks:
