@@ -1,0 +1,24 @@
+#!/bin/bash
+# ViT-L/14@336px train-step sweep (VERDICT r3 item 3).  Serialized
+# single-chip runs; each bench.py invocation is self-supervised (watchdog
+# + retry).  Logs land in output/vitl336/.
+set -u
+mkdir -p output/vitl336
+run() {
+  tag=$1; shift
+  echo "=== $tag: $* ==="
+  CLIP_FSAR_BENCH_SUPERVISED=1 timeout 2400 python bench.py \
+    --backbone ViT-L/14@336px --frames 16 --res 336 --episodes 1 --steps 5 "$@" \
+    > output/vitl336/$tag.json 2> output/vitl336/$tag.err
+  echo "rc=$? $(tail -c 400 output/vitl336/$tag.json)"
+}
+# a) round-2 adopted config (reproduce the committed 0.152 eps/s row)
+run a_scan_remat_c4      --remat --scan-layers --frame-chunks 4
+# b) inner remat policy dots (recompute elementwise only) at wider chunking
+run b_scan_dots_c16      --remat --remat-policy dots --scan-layers --frame-chunks 16
+run c_scan_dots_c24      --remat --remat-policy dots --scan-layers --frame-chunks 24
+# d) chunk-level remat only (no inner per-layer remat): upper bound if it fits
+run d_noremat_c24        --no-remat --scan-layers --frame-chunks 24
+run e_scan_dots_c12      --remat --remat-policy dots --scan-layers --frame-chunks 12
+run f_noremat_c32        --no-remat --scan-layers --frame-chunks 32
+echo done
