@@ -48,9 +48,17 @@ def retry_transient(fn: Callable[[], _T], what: str, attempts: int = 4, base_del
         except Exception as e:  # jax surfaces XLA errors via several wrapper types
             if "RESOURCE_EXHAUSTED" not in str(e) or k == attempts - 1:
                 raise
+            # A deterministic OOM (workload genuinely too big) also
+            # matches this string and will eat the full backoff budget
+            # before surfacing; the warning states that budget so a
+            # stuck log is self-explaining.
+            # remaining sleeps: this one (base*2^k) + those of attempts
+            # k+1 .. attempts-2 (the final attempt re-raises, no sleep)
+            total_backoff = base_delay * (2.0 ** (attempts - 1) - 2.0 ** k)
             logger.warning(
-                "transient RESOURCE_EXHAUSTED during %s (attempt %d/%d) — retrying in %.0f s",
-                what, k + 1, attempts, delay,
+                "transient RESOURCE_EXHAUSTED during %s (attempt %d/%d) — retrying in %.0f s"
+                " (≤%.0f s more backoff before a real OOM would surface)",
+                what, k + 1, attempts, delay, total_backoff,
             )
             time.sleep(delay)
             delay *= 2.0

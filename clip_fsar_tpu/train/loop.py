@@ -268,7 +268,12 @@ def train_few_shot(cfg) -> Dict[str, float]:
             lr = get_lr_at_epoch(cfg, epoch_for_iter(cfg, cur_iter))
             # uploads and eager RNG ops are retried on transient device
             # pressure (shared-chip tenant spikes); the donated train step
-            # itself is not retryable and is left to fail loudly
+            # itself is not retryable and is left to fail loudly.
+            # Multi-process caveat: one host sleeping in the retry (or
+            # raising after exhausting it) leaves peers blocked in the
+            # step's collectives — an asymmetric failure becomes a
+            # cross-host hang that only the stall watchdog
+            # (tools/supervise_train.py) reaps, by killing the whole job.
             dropout_rng, step_rng = retry_transient(
                 lambda: jax.random.split(dropout_rng), "rng split"  # noqa: B023
             )

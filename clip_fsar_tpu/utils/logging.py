@@ -74,13 +74,15 @@ def log_json_stats(stats: Dict[str, Any], logger: Optional[logging.Logger] = Non
     logger = logger or get_logger()
 
     def _clean(v: Any) -> Any:
-        if hasattr(v, "item"):
+        if hasattr(v, "item"):  # numpy / jax scalars
             try:
-                return v.item()
+                v = v.item()
             except Exception:
                 return str(v)
         if isinstance(v, float):
-            return round(v, 6)
+            # Significant digits, not fixed decimals: round(v, 6) logged a
+            # 1e-7 LR as 0.0, destroying schedule evidence (VERDICT r4 #6).
+            return float(f"{v:.6g}")
         return v
 
     logger.info("json_stats: %s", json.dumps({k: _clean(v) for k, v in stats.items()}, sort_keys=True))

@@ -42,10 +42,14 @@ def log_event(log_path: str, msg: str) -> None:
 
 
 def launch(cmd, log_path):
+    # Caller must close the returned handle after the child exits —
+    # leaving it open leaks an fd per restart and keeps buffered writes
+    # alive across relaunches.
     logf = open(log_path, "a")
-    return subprocess.Popen(
+    proc = subprocess.Popen(
         cmd, stdout=logf, stderr=subprocess.STDOUT, start_new_session=True
     )
+    return proc, logf
 
 
 def kill_group(proc) -> None:
@@ -87,46 +91,55 @@ def main() -> int:
     while True:
         log_event(args.log, f"launch attempt {restarts + 1}: {' '.join(cmd)}")
         launch_off = os.path.getsize(args.log) if os.path.exists(args.log) else 0
-        proc = launch(cmd, args.log)
+        proc, logf = launch(cmd, args.log)
         last_size = -1
         last_growth = time.time()
         in_steady = False
-        while True:
-            rc = proc.poll()
-            if rc is not None:
-                if rc == 0:
-                    log_event(args.log, "child exited 0; done")
-                    return 0
-                log_event(args.log, f"child exited rc={rc}")
-                break
-            now = time.time()
-            if now - t0 > args.total:
-                log_event(args.log, "total wall budget exhausted; killing")
-                kill_group(proc)
-                return 3
-            size = os.path.getsize(args.log)
-            if size != last_size:
-                if not in_steady and size > launch_off:
-                    # cheap check: steady state begins at the first
-                    # train/eval progress line after this launch
-                    with open(args.log, "rb") as f:
-                        f.seek(launch_off)
-                        tail = f.read()
-                    if b"train_iter" in tail or b"eval_" in tail:
-                        in_steady = True
-                last_size = size
-                last_growth = now
-            threshold = args.stall if in_steady else args.startup_stall
-            if now - last_growth > threshold:
-                log_event(
-                    args.log,
-                    f"no log growth for {now - last_growth:.0f}s "
-                    f"(threshold {threshold:.0f}s, steady={in_steady}); "
-                    "killing process group for auto-resume restart",
-                )
-                kill_group(proc)
-                break
-            time.sleep(15)
+        try:
+            while True:
+                rc = proc.poll()
+                if rc is not None:
+                    if rc == 0:
+                        log_event(args.log, "child exited 0; done")
+                        return 0
+                    log_event(args.log, f"child exited rc={rc}")
+                    break
+                now = time.time()
+                if now - t0 > args.total:
+                    log_event(args.log, "total wall budget exhausted; killing")
+                    kill_group(proc)
+                    return 3
+                try:
+                    size = os.path.getsize(args.log)
+                except OSError:
+                    # log rotated/deleted mid-run: treat as no growth
+                    # rather than crashing and leaving the detached
+                    # child running unsupervised
+                    size = last_size
+                if size != last_size:
+                    if not in_steady and size > launch_off:
+                        # cheap check: steady state begins at the first
+                        # train/eval progress line after this launch
+                        with open(args.log, "rb") as f:
+                            f.seek(launch_off)
+                            tail = f.read()
+                        if b"train_iter" in tail or b"eval_" in tail:
+                            in_steady = True
+                    last_size = size
+                    last_growth = now
+                threshold = args.stall if in_steady else args.startup_stall
+                if now - last_growth > threshold:
+                    log_event(
+                        args.log,
+                        f"no log growth for {now - last_growth:.0f}s "
+                        f"(threshold {threshold:.0f}s, steady={in_steady}); "
+                        "killing process group for auto-resume restart",
+                    )
+                    kill_group(proc)
+                    break
+                time.sleep(15)
+        finally:
+            logf.close()
         restarts += 1
         if restarts > args.max_restarts:
             log_event(args.log, "max restarts exhausted")
