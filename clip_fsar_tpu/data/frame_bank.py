@@ -23,9 +23,21 @@ takes no RNG), and the index sampler reproduces the same snap
 arithmetic, so bank-mode metrics are bit-identical to the pixel path
 (tests/test_frame_bank.py pins this).
 
-Train mode is out of scope: train transforms draw per-clip random crops
-and flips from frames at the pre-crop stretch size, so pixels cannot be
-pre-assembled without changing the augmentation distribution.
+Train mode (``TPU.TRAIN_FRAME_BANK``): the episodic train transform is a
+FIXED-size stretch + random crop + flip (reference transformations.py
+:676-731 stretches every clip to the same (scale[0], scale[1]); only the
+crop offset and flip are random).  So the train bank stores frames at
+the STRETCH size and the jitted train step performs the per-clip random
+crop + flip on device from host-drawn (y, x, flip) values that consume
+the SAME RNG stream positions as the pixel path — augmentation
+distribution unchanged, and bit-identical pixels when the bank grid
+equals the decoder cache grid (tests/test_train_frame_bank.py).  The
+host ships ``[T] rows + (y, x, flip)`` int32 per clip instead of
+~1.2 MB of pixels; per-step traffic drops ~4 orders of magnitude, which
+converts the tunnel-transfer-bound ~1 eps/s train loop into the
+device-bound rate (PERFORMANCE.md "Train-path attribution").
+HBM cost: V x F x stretch^2 x 3 uint8 — HMDB51 train split (4,280
+videos) at F=8, 256px = 6.7 GB; F set by TPU.TRAIN_FRAME_BANK_FRAMES.
 """
 
 from __future__ import annotations
@@ -63,13 +75,38 @@ def build_eval_frame_bank(cfg, split: str) -> Tuple[np.ndarray, FrameBankTable]:
     feed.  TPU.EVAL_FRAME_BANK_FRAMES (default DATA.FRAME_CACHE_FRAMES)
     sets F — the HBM-vs-temporal-quantization lever.
     """
+    crop = int(cfg.DATA.TEST_CROP_SIZE)
+    bank_frames = int(cfg.TPU.get("EVAL_FRAME_BANK_FRAMES", 0) or cfg.DATA.get("FRAME_CACHE_FRAMES", 64))
+    return _build_bank(
+        cfg, split, bank_frames, (crop, crop),
+        lambda frames: fewshot_test_transform(frames, cfg), "EVAL_FRAME_BANK",
+    )
+
+
+def build_train_frame_bank(cfg, split: str = "train") -> Tuple[np.ndarray, FrameBankTable]:
+    """Decode + FULL-stretch every video of the train split onto the bank
+    grid (no crop, no flip — those are random and run on device, see the
+    module docstring).  Returns (bank [V*F, nh, nw, 3] uint8, table).
+    TPU.TRAIN_FRAME_BANK_FRAMES (default DATA.FRAME_CACHE_FRAMES) sets F.
+    """
+    from clip_fsar_tpu.data.transforms import _stretch_dims, fewshot_train_stretch
+
+    nh, nw = _stretch_dims(cfg.DATA.TRAIN_JITTER_SCALES)
+    bank_frames = int(cfg.TPU.get("TRAIN_FRAME_BANK_FRAMES", 0) or cfg.DATA.get("FRAME_CACHE_FRAMES", 64))
+    return _build_bank(
+        cfg, split, bank_frames, (nh, nw),
+        lambda frames: fewshot_train_stretch(frames, cfg), "TRAIN_FRAME_BANK",
+    )
+
+
+def _build_bank(cfg, split: str, bank_frames: int, out_hw, transform, label: str):
     from clip_fsar_tpu.data.loader import DATASET_REGISTRY
 
     if bool(cfg.DATA.get("EXACT_SAMPLING", False)):
         # same contract as decode.py::build_decoder: a protocol-exact
         # accuracy run must never feed grid-snapped frames
         raise ValueError(
-            "TPU.EVAL_FRAME_BANK=true with DATA.EXACT_SAMPLING=true: the bank "
+            f"TPU.{label}=true with DATA.EXACT_SAMPLING=true: the bank "
             "snaps sampled frame indices to its uniform grid, which the "
             "reference protocol's decode path never does (reference datasets/"
             "base/base_dataset.py:493-530). Disable the bank for accuracy "
@@ -80,8 +117,6 @@ def build_eval_frame_bank(cfg, split: str) -> Tuple[np.ndarray, FrameBankTable]:
     dataset = DATASET_REGISTRY.get(name)(cfg, split)
     fs_split, decoder, path_map = dataset.fs_split, dataset.decoder, dataset.path_map
 
-    bank_frames = int(cfg.TPU.get("EVAL_FRAME_BANK_FRAMES", 0) or cfg.DATA.get("FRAME_CACHE_FRAMES", 64))
-
     # Bit-identity with the pixel path holds ONLY when the pixel path
     # itself snaps to the same grid: DATA.DECODER=cached_opencv with the
     # bank grid equal to the decoder cache grid.  Any other combination
@@ -91,19 +126,19 @@ def build_eval_frame_bank(cfg, split: str) -> Tuple[np.ndarray, FrameBankTable]:
 
     if not isinstance(decoder, CachedVideoDecoder):
         logger.warning(
-            "EVAL_FRAME_BANK with DATA.DECODER=%s: the bank snaps sampled frame "
+            "%s with DATA.DECODER=%s: the bank snaps sampled frame "
             "indices to a %d-frame uniform grid that this decoder's pixel path "
             "does NOT use — metrics are not bit-identical to the pixel path. "
             "Use DATA.DECODER cached_opencv with FRAME_CACHE_FRAMES == bank "
             "frames for the guaranteed-identical configuration.",
-            cfg.DATA.get("DECODER", "?"), bank_frames,
+            label, cfg.DATA.get("DECODER", "?"), bank_frames,
         )
     elif bank_frames != decoder.max_frames:
         logger.warning(
-            "EVAL_FRAME_BANK grid (%d frames) != decoder cache grid (%d frames): "
-            "bank-mode metrics will differ from the pixel path's. Set "
-            "TPU.EVAL_FRAME_BANK_FRAMES == DATA.FRAME_CACHE_FRAMES for bit-identity.",
-            bank_frames, decoder.max_frames,
+            "%s grid (%d frames) != decoder cache grid (%d frames): "
+            "bank-mode results will differ from the pixel path's. Set the "
+            "bank frames == DATA.FRAME_CACHE_FRAMES for bit-identity.",
+            label, bank_frames, decoder.max_frames,
         )
 
     paths = []
@@ -116,8 +151,8 @@ def build_eval_frame_bank(cfg, split: str) -> Tuple[np.ndarray, FrameBankTable]:
                 paths.append(path)
 
     v = len(paths)
-    crop = int(cfg.DATA.TEST_CROP_SIZE)
-    bank = np.empty((v * bank_frames, crop, crop, 3), np.uint8)
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    bank = np.empty((v * bank_frames, out_h, out_w, 3), np.uint8)
     orig_idx = np.zeros((v, bank_frames), np.int64)
     nframes = np.zeros(v, np.int32)
     length = np.zeros(v, np.int64)
@@ -129,7 +164,7 @@ def build_eval_frame_bank(cfg, split: str) -> Tuple[np.ndarray, FrameBankTable]:
         f = float(decoder.fps(path)) if hasattr(decoder, "fps") else float(cfg.DATA.get("FPS", 30))
         keep = np.unique(np.linspace(0, n - 1, min(bank_frames, max(n, 1))).round().astype(np.int64))
         frames = decoder.read(path, keep)
-        frames = fewshot_test_transform(frames, cfg)
+        frames = transform(frames)
         k = len(keep)
         base = row * bank_frames
         bank[base : base + k] = frames
@@ -145,14 +180,26 @@ def build_eval_frame_bank(cfg, split: str) -> Tuple[np.ndarray, FrameBankTable]:
             logger.info("frame bank: %d/%d videos", row + 1, v)
 
     logger.info(
-        "frame bank built: %d videos x %d grid frames x %dpx = %.2f GB uint8",
-        v, bank_frames, crop, bank.nbytes / 1e9,
+        "frame bank built (%s): %d videos x %d grid frames x %dx%dpx = %.2f GB uint8",
+        label, v, bank_frames, out_h, out_w, bank.nbytes / 1e9,
     )
     table = FrameBankTable(
         orig_idx=orig_idx, nframes=nframes, length=length, fps=fps,
         row_of_path=row_of_path, frames_per_video=bank_frames,
     )
     return bank, table
+
+
+def _snap_rows(table: FrameBankTable, row: int, indices) -> np.ndarray:
+    """Snap requested source-frame indices to the video's bank grid rows —
+    the same nearest-grid arithmetic as decode.py::CachedVideoDecoder.read —
+    returning GLOBAL int32 bank row ids."""
+    orig = table.orig_idx[row, : table.nframes[row]]
+    req = np.asarray(indices, np.int64)
+    pos = np.clip(np.searchsorted(orig, req), 0, len(orig) - 1)
+    left = np.clip(pos - 1, 0, len(orig) - 1)
+    take = np.where(np.abs(orig[left] - req) <= np.abs(orig[pos] - req), left, pos)
+    return (row * table.frames_per_video + take).astype(np.int32)
 
 
 class IndexEpisodeSampler(EpisodeSampler):
@@ -179,13 +226,51 @@ class IndexEpisodeSampler(EpisodeSampler):
         indices = sample_indices_for_cfg(
             self.cfg, self.mode, int(t.length[row]), float(t.fps[row]), self.rng
         )
-        # same nearest-grid snap as decode.py::CachedVideoDecoder.read
-        orig = t.orig_idx[row, : t.nframes[row]]
-        req = np.asarray(indices, np.int64)
-        pos = np.clip(np.searchsorted(orig, req), 0, len(orig) - 1)
-        left = np.clip(pos - 1, 0, len(orig) - 1)
-        take = np.where(np.abs(orig[left] - req) <= np.abs(orig[pos] - req), left, pos)
-        return (row * t.frames_per_video + take).astype(np.int32)
+        return _snap_rows(t, row, indices)
+
+
+class TrainIndexEpisodeSampler(EpisodeSampler):
+    """Train-mode bank sampler: emits ``[T + 3]`` int32 per clip — T global
+    bank rows followed by (crop_y, crop_x, flip).
+
+    RNG-stream parity with the pixel sampler: per clip it draws, in the
+    SAME order and with the SAME gating as the pixel path
+    (``sample_indices_for_cfg``, then transforms.fewshot_train_transform's
+    flip → y → x, including the support-flip short-circuit that skips the
+    flip draw when AUGMENTATION.RANDOM_FLIP is off), so (seed, step, slot)
+    selects identical classes, videos, frames AND augmentation parameters.
+    The crop + flip themselves execute on device (make_bank_train_step).
+    """
+
+    def __init__(self, base: EpisodeSampler, table: FrameBankTable):
+        self.__dict__.update(base.__dict__)
+        self._table = table
+        from clip_fsar_tpu.data.transforms import _stretch_dims
+
+        self._nh, self._nw = _stretch_dims(self.cfg.DATA.TRAIN_JITTER_SCALES)
+        self._size = int(self.cfg.DATA.TRAIN_CROP_SIZE)
+        aug = self.cfg.AUGMENTATION if "AUGMENTATION" in self.cfg else {}
+        self._support_flip = bool(aug.get("RANDOM_FLIP", False))
+
+    def _load_clip(self, class_id: int, idx: int, is_query: bool = False) -> np.ndarray:
+        from clip_fsar_tpu.data.sampling import sample_indices_for_cfg
+
+        t = self._table
+        path, _ = self.split.get(class_id, idx)
+        path = self.path_map(path)
+        row = t.row_of_path[path]
+        indices = sample_indices_for_cfg(
+            self.cfg, self.mode, int(t.length[row]), float(t.fps[row]), self.rng
+        )
+        rows = _snap_rows(t, row, indices)
+        # same draw order/gating as transforms.fewshot_train_transform
+        if is_query:
+            flip = bool(self.rng.random() < 0.5)
+        else:
+            flip = self._support_flip and bool(self.rng.random() < 0.5)
+        y = int(self.rng.integers(0, max(self._nh - self._size, 1)))
+        x = int(self.rng.integers(0, max(self._nw - self._size, 1)))
+        return np.concatenate([rows, np.asarray([y, x, int(flip)], np.int32)])
 
 
 def make_bank_eval_step(head, cfg, text_train, text_test):
@@ -214,23 +299,19 @@ class BankEvalContext:
     table: FrameBankTable
 
 
-def make_bank_eval_context(cfg, model, mesh, split: str) -> BankEvalContext:
-    """Build the bank, pin it on device (replicated over the mesh), and
-    jit the gathering eval step once.  NOT cached here — the build is
-    multi-GB and the jit is slow, so callers that evaluate repeatedly
-    (train/loop.py interleaved validation) build one context up front
-    and pass it via ``bank_ctx=``."""
+def _upload_bank(bank_np: np.ndarray, mesh):
+    """Pin a host bank in HBM, replicated over the mesh.  The upload is
+    multi-GB and the dev tunnel can wedge a device RPC — log around it so
+    a stall is attributable (the round-3 train5k run went dark exactly
+    here)."""
+    import time
+
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    bank_np, table = build_eval_frame_bank(cfg, split)
-    # the upload is multi-GB and the dev tunnel can wedge a device RPC —
-    # log around it so a stall is attributable (the round-3 train5k run
-    # went dark exactly here)
-    import time
+    from clip_fsar_tpu.parallel.mesh import retry_transient
 
     t0 = time.perf_counter()
-    from clip_fsar_tpu.parallel.mesh import retry_transient
 
     def _upload():
         b = jax.device_put(bank_np, NamedSharding(mesh, P()))
@@ -239,6 +320,19 @@ def make_bank_eval_context(cfg, model, mesh, split: str) -> BankEvalContext:
 
     bank = retry_transient(_upload, "frame bank upload", base_delay=15.0)
     logger.info("frame bank on device: %.2f GB in %.1f s", bank_np.nbytes / 1e9, time.perf_counter() - t0)
+    return bank
+
+
+def make_bank_eval_context(cfg, model, mesh, split: str) -> BankEvalContext:
+    """Build the bank, pin it on device (replicated over the mesh), and
+    jit the gathering eval step once.  NOT cached here — the build is
+    multi-GB and the jit is slow, so callers that evaluate repeatedly
+    (train/loop.py interleaved validation) build one context up front
+    and pass it via ``bank_ctx=``."""
+    import jax
+
+    bank_np, table = build_eval_frame_bank(cfg, split)
+    bank = _upload_bank(bank_np, mesh)
     from clip_fsar_tpu.parallel.mesh import replicated
 
     eval_step = jax.jit(
@@ -246,3 +340,75 @@ def make_bank_eval_context(cfg, model, mesh, split: str) -> BankEvalContext:
         out_shardings=replicated(mesh),
     )
     return BankEvalContext(eval_step=eval_step, bank=bank, table=table)
+
+
+def make_bank_train_assemble(num_frames: int, crop: int):
+    """Device-side pixel assembly for the train bank: gather stretched
+    frames by row id, then per-clip random crop + flip from the
+    host-drawn parameters.  Cropping the stored full-stretch frame is
+    bit-identical to the host's fused resize+crop (fixed-point taps are
+    computed in destination coordinates — transforms.fewshot_train_stretch),
+    and the flip mirrors the crop exactly as the host kernel does."""
+    import jax
+    import jax.numpy as jnp
+
+    def assemble(bank, idx):
+        # idx: int32 [E, N, T+3] — rows | crop_y | crop_x | flip
+        rows = idx[..., :num_frames]
+        y, x, flip = idx[..., num_frames], idx[..., num_frames + 1], idx[..., num_frames + 2]
+        frames = bank[rows]  # [E, N, T, nh, nw, 3] uint8
+        e, n = frames.shape[:2]
+        flat = frames.reshape((e * n,) + frames.shape[2:])
+
+        def crop_one(fr, yy, xx, fl):
+            c = jax.lax.dynamic_slice(fr, (0, yy, xx, 0), (num_frames, crop, crop, 3))
+            return jnp.where(fl.astype(bool), c[:, :, ::-1, :], c)
+
+        out = jax.vmap(crop_one)(flat, y.reshape(-1), x.reshape(-1), flip.reshape(-1))
+        return out.reshape((e, n) + out.shape[1:])
+
+    return assemble
+
+
+def make_bank_train_step(head, tx, cfg, text_train, text_test):
+    """Wrap make_train_step with the device-side bank assembly: the
+    batch's ``*_images`` fields are int32 [.., T+3] row/crop descriptors;
+    ``bank`` is the HBM-resident [V*F, nh, nw, 3] uint8 array (explicit
+    argument so jit does not inline multi-GB pixels as a constant).  The
+    assembled uint8 clips then flow through the unchanged train step —
+    device-side ColorJitter/RandomErasing (augment.py), normalization,
+    loss, optimizer."""
+    from clip_fsar_tpu.train.step import make_train_step
+
+    base = make_train_step(head, tx, cfg, text_train, text_test)
+    assemble = make_bank_train_assemble(int(cfg.DATA.NUM_INPUT_FRAMES), int(cfg.DATA.TRAIN_CROP_SIZE))
+
+    def train_step(state, batch, lr, rng, bank):
+        batch = batch.replace(
+            support_images=assemble(bank, batch.support_images),
+            target_images=assemble(bank, batch.target_images),
+        )
+        return base(state, batch, lr, rng)
+
+    return train_step
+
+
+@dataclasses.dataclass
+class BankTrainContext:
+    train_step: object  # jitted (state, batch, lr, rng, bank) -> (state, metrics)
+    bank: object  # device-resident jax.Array
+    table: FrameBankTable
+
+
+def make_bank_train_context(cfg, model, mesh, tx) -> BankTrainContext:
+    """Build the train bank, pin it on device, and jit the bank train
+    step once (state donated, bank not)."""
+    import jax
+
+    bank_np, table = build_train_frame_bank(cfg, "train")
+    bank = _upload_bank(bank_np, mesh)
+    train_step = jax.jit(
+        make_bank_train_step(model.head, tx, cfg, model.text_train, model.text_test),
+        donate_argnums=0,
+    )
+    return BankTrainContext(train_step=train_step, bank=bank, table=table)

@@ -83,13 +83,15 @@ def _fixed_point_taps(src: int, dst: int, begin: int, count: int):
     return lo, hi, w
 
 
-def _np_resize_crop_flip(frames: np.ndarray, nh: int, nw: int, y: int, x: int, size: int, flip: bool) -> np.ndarray:
+def _np_resize_crop_flip(
+    frames: np.ndarray, nh: int, nw: int, y: int, x: int, size: int, flip: bool, size_w: int = 0
+) -> np.ndarray:
     """Pure-numpy replica of the native fixed-point kernel — pixel-
     identical output, used when the C++ toolchain is unavailable so data
     pipelines stay deterministic across environments."""
     t, h, w, _ = frames.shape
     ylo, yhi, wy = _fixed_point_taps(h, nh, y, size)
-    xlo, xhi, wx = _fixed_point_taps(w, nw, x, size)
+    xlo, xhi, wx = _fixed_point_taps(w, nw, x, size_w or size)
     f = frames.astype(np.int64)
     # horizontal pass (value * 256)
     row = f[:, :, xlo] * (256 - wx)[None, None, :, None] + f[:, :, xhi] * wx[None, None, :, None]
@@ -154,6 +156,29 @@ def _stretch_dims(cfg_scale) -> Tuple[int, int]:
     else:
         h = w = int(cfg_scale)
     return h, w
+
+
+def fewshot_train_stretch(frames: np.ndarray, cfg) -> np.ndarray:
+    """The fixed-size stretch of fewshot_train_transform WITHOUT the crop
+    or flip: uint8 [T,H,W,3] -> uint8 [T,nh,nw,3] at TRAIN_JITTER_SCALES.
+
+    Because the stretch target is FIXED (not sampled — reference
+    transformations.py:676-731 stretches every train clip to the same
+    (scale[0], scale[1])), the random part of the train augmentation is
+    only the (y, x) crop offset and the flip, both of which commute with
+    storage: cropping rows [y, y+size) of this full stretched frame is
+    bit-identical to the host's fused resize+crop (the fixed-point taps
+    of _fixed_point_taps are computed in destination coordinates, so
+    begin=y of a full resize equals begin=y of a windowed one).  This is
+    what lets the train frame bank pre-assemble pixels on device without
+    changing the augmentation distribution (data/frame_bank.py).
+    """
+    nh, nw = _stretch_dims(cfg.DATA.TRAIN_JITTER_SCALES)
+    from clip_fsar_tpu.native import frameops
+
+    if frameops.available():
+        return frameops.resize_crop_flip(frames, nh, nw, 0, 0, nh, nw, False)
+    return _np_resize_crop_flip(frames, nh, nw, 0, 0, nh, False, size_w=nw)
 
 
 def fewshot_train_transform(frames: np.ndarray, cfg, rng: np.random.Generator, is_query: bool) -> np.ndarray:

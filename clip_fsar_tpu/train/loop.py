@@ -222,7 +222,22 @@ def train_few_shot(cfg) -> Dict[str, float]:
                 state = state.replace(ema_params=loaded_vars["params"])
     state = shard_params(state, mesh)
 
-    train_step = jax.jit(make_train_step(model.head, tx, cfg, model.text_train, model.text_test), donate_argnums=0)
+    # TPU.TRAIN_FRAME_BANK: the train split's stretched frames live in HBM
+    # once; the loader ships row indices + crop/flip params instead of
+    # pixels and the jitted step assembles clips on device — identical
+    # augmentation distribution, ~4 orders of magnitude less upload per
+    # step (data/frame_bank.py module docstring; PERFORMANCE.md
+    # "Train-path attribution")
+    train_bank_ctx = None
+    train_sampler_wrap = None
+    if bool(cfg.TPU.get("TRAIN_FRAME_BANK", False)):
+        from clip_fsar_tpu.data.frame_bank import TrainIndexEpisodeSampler, make_bank_train_context
+
+        train_bank_ctx = make_bank_train_context(cfg, model, mesh, tx)
+        train_sampler_wrap = lambda s: TrainIndexEpisodeSampler(s, train_bank_ctx.table)  # noqa: E731
+        train_step = train_bank_ctx.train_step
+    else:
+        train_step = jax.jit(make_train_step(model.head, tx, cfg, model.text_train, model.text_test), donate_argnums=0)
 
     num_train_tasks = int(cfg.TRAIN.NUM_TRAIN_TASKS)
     val_every = int(cfg.TRAIN.get("VAL_FRE_ITER", 0) or 0)
@@ -258,7 +273,7 @@ def train_few_shot(cfg) -> Dict[str, float]:
     # episode_range: each host decodes only its local slice of the batch
     with build_few_shot_loader(
         cfg, "train", num_steps=remaining, episodes_per_step=e, start_step=start_iter,
-        episode_range=local_episode_range(e, mesh),
+        episode_range=local_episode_range(e, mesh), sampler_wrap=train_sampler_wrap,
     ) as loader:
         cur_iter = start_iter
         log_period = int(cfg.get("LOG_PERIOD", 10))
@@ -280,7 +295,10 @@ def train_few_shot(cfg) -> Dict[str, float]:
             batch_dev = retry_transient(
                 lambda: shard_batch(batch, mesh, global_e=e), "train batch upload"  # noqa: B023
             )
-            state, metrics = train_step(state, batch_dev, jnp.float32(lr), step_rng)
+            if train_bank_ctx is not None:
+                state, metrics = train_step(state, batch_dev, jnp.float32(lr), step_rng, train_bank_ctx.bank)
+            else:
+                state, metrics = train_step(state, batch_dev, jnp.float32(lr), step_rng)
             cur_iter += 1
 
             if cur_iter % log_period == 0 or cur_iter == num_train_tasks:
