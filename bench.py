@@ -171,7 +171,11 @@ def main() -> int:
     # the default 300 s deadline false-positives on the largest tower
     _mark("building model", deadline=600.0)
     model = build_few_shot_model(cfg, jax.random.PRNGKey(0))
-    _mark("model built")
+    # 600 s for the NEXT phase (state init + batch upload): a 336px episode
+    # batch is ~160 MB and the dev tunnel has been observed near ~1 MB/s on
+    # bad days — the 300 s default killed healthy ViT-L sweep configs
+    # during the upload (r5 sweep, c24 runs)
+    _mark("model built", deadline=600.0)
     tx = build_optimizer(cfg, model.variables["params"], name_prefix="head")
     state = replicate(build_state(cfg, model, tx), mesh)
 
