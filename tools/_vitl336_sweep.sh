@@ -2,6 +2,13 @@
 # ViT-L/14@336px train-step sweep (VERDICT r3 item 3).  Serialized
 # single-chip runs; each bench.py invocation is self-supervised (watchdog
 # + retry).  Logs land in output/vitl336/.
+#
+# ROUND-5 OUTCOME (PERFORMANCE.md "ViT-L/14@336px train step"): best
+# reliable config is  --remat --remat-policy dots --scan-layers
+# --frame-chunks 12  (44.2 % useful MFU; c10 is +1 % but sits on the
+# memory edge and intermittently OOMs).  No-remat does not fit on a
+# 16 GB v5e (17.07 G of 15.75 G with dots@c16); pallas attention loses
+# 2.5x at N=577.  See tools/_vitl336_sweep2.sh for the probe grid.
 set -u
 mkdir -p output/vitl336
 run() {
