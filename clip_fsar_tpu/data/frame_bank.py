@@ -311,6 +311,27 @@ def _upload_bank(bank_np: np.ndarray, mesh):
 
     from clip_fsar_tpu.parallel.mesh import retry_transient
 
+    # Fit check BEFORE the multi-minute upload: banks are replicated, so
+    # each device pays the full bank plus the step's own working set.
+    # Measured reference point (round 5): RN50 train + a 6.73 GB train
+    # bank + 1.56 GB eval bank OOMed on a 15.75 GB v5e; the same step
+    # with 3.37 + 1.56 GB fits.  Warn when the bank alone crosses half
+    # of per-device HBM so the operator can shrink *_FRAME_BANK_FRAMES
+    # before burning the upload time.
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        hbm = float(stats.get("bytes_limit", 0))
+    except Exception:
+        hbm = 0.0
+    if hbm and bank_np.nbytes > 0.5 * hbm:
+        logger.warning(
+            "frame bank is %.2f GB — more than half of per-device HBM "
+            "(%.2f GB). Training/eval steps need several GB of working "
+            "set on top; if the step compile OOMs, reduce "
+            "TPU.TRAIN_FRAME_BANK_FRAMES / TPU.EVAL_FRAME_BANK_FRAMES.",
+            bank_np.nbytes / 1e9, hbm / 1e9,
+        )
+
     t0 = time.perf_counter()
 
     def _upload():
