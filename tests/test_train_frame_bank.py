@@ -169,3 +169,47 @@ def test_exact_sampling_refuses_train_bank(tmp_path):
     cfg = _make_cfg(tmp_path, **{"DATA.EXACT_SAMPLING": "true"})
     with pytest.raises(ValueError, match="TRAIN_FRAME_BANK.*EXACT_SAMPLING"):
         build_train_frame_bank(cfg)
+
+
+def test_bank_train_step_dp_mesh_matches_single_device(tmp_path):
+    """TRAIN_FRAME_BANK on a 2-device dp mesh: the bank is replicated,
+    the int32 index batch shards over the data axis, and the loss
+    trajectory matches the single-device run exactly (same (seed, step,
+    slot) episode stream)."""
+    from clip_fsar_tpu.data.frame_bank import (
+        TrainIndexEpisodeSampler,
+        make_bank_train_context,
+    )
+    from clip_fsar_tpu.data.loader import build_few_shot_loader
+    from clip_fsar_tpu.models.builder import build_few_shot_model
+    from clip_fsar_tpu.parallel.mesh import build_mesh, shard_batch
+    from clip_fsar_tpu.train.loop import build_state
+    from clip_fsar_tpu.train.optimizer import build_optimizer
+
+    def run(mesh_data):
+        cfg = _make_cfg(tmp_path, **{"TPU.MESH.DATA": mesh_data})
+        mesh = build_mesh(cfg)
+        model = build_few_shot_model(cfg, jax.random.PRNGKey(0), flow="train")
+        tx = build_optimizer(cfg, model.variables["params"], name_prefix="head")
+        state = build_state(cfg, model, tx)
+        ctx = make_bank_train_context(cfg, model, mesh, tx)
+        losses = []
+        rng = jax.random.PRNGKey(7)
+        with build_few_shot_loader(
+            cfg, "train", num_steps=2, episodes_per_step=2,
+            sampler_wrap=lambda s: TrainIndexEpisodeSampler(s, ctx.table),
+        ) as loader:
+            for batch in loader:
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = ctx.train_step(
+                    state, shard_batch(batch, mesh, global_e=2), jnp.float32(1e-3), step_rng, ctx.bank
+                )
+                losses.append(float(metrics["loss"]))
+        return losses
+
+    single = run(1)
+    dp = run(2)
+    # same tolerance as tests/test_multichip_fulldepth.py: the dp loss
+    # mean reduces via an all-reduce whose summation order differs from
+    # the single-device mean — fp32 trajectories match to ~1e-6 rtol
+    np.testing.assert_allclose(dp, single, rtol=1e-5, atol=0)
