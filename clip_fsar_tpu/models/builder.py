@@ -48,7 +48,12 @@ def _init_device(cfg):
     if mode == "device":
         return None
     try:
-        return jax.devices("cpu")[0]
+        # local_devices, not devices: in a multi-process run the first
+        # GLOBAL cpu device is non-addressable on every rank but 0, and
+        # committing the init jit to it makes the computation span all
+        # processes (device_get then fails with "spans non-addressable
+        # devices" — observed in test_multihost round 5)
+        return jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         return None
 

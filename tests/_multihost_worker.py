@@ -25,6 +25,17 @@ if world > 1:
     jax.distributed.initialize(
         coordinator_address=os.environ["MH_COORD"], num_processes=world, process_id=rank
     )
+    # Establish the Gloo collective context NOW, while both processes sit
+    # at the same point right after the coordinator rendezvous.  Its
+    # creation happens lazily at the first cross-process collective and
+    # carries a fixed ~30 s KV deadline; deferring it to the end of the
+    # run means minutes of single-core XLA compiles can interleave the
+    # two processes far enough apart to blow that deadline
+    # ("Gloo context initialization failed: DEADLINE_EXCEEDED",
+    # observed round 5 on a 1-core host).
+    from jax.experimental import multihost_utils as _mhu
+
+    _mhu.process_allgather(jax.numpy.zeros((1,), jax.numpy.float32))
 
 import jax.numpy as jnp  # noqa: E402
 

@@ -109,11 +109,22 @@ def _launch(rank: int, world: int, port: int, ndev: int):
 def test_two_process_distributed_matches_single_process():
     """2 processes x 4 CPU devices (jax.distributed) vs 1 process x 8
     devices: identical seeded loss trajectory over 3 steps."""
-    port = _free_port()
-    procs = [_launch(r, 2, port, 4) for r in range(2)]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, out[-2000:]
+    # Gloo's cross-process rendezvous has a fixed ~30 s KV deadline; on a
+    # 1-core CI host the peer can be starved past it by XLA compiles
+    # (observed round 5: "Gloo context initialization failed:
+    # DEADLINE_EXCEEDED").  That is an infra flake, not a numerics
+    # failure — retry the whole 2-process launch once before failing.
+    for attempt in range(2):
+        port = _free_port()
+        procs = [_launch(r, 2, port, 4) for r in range(2)]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+        blob = "".join(outs)
+        if attempt == 0 and ("DEADLINE_EXCEEDED" in blob or "Gloo context" in blob):
+            continue
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-2000:]
     single = _launch(0, 1, _free_port(), 8)
     out_single = single.communicate(timeout=600)[0]
     assert single.returncode == 0, out_single[-2000:]
